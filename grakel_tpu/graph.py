@@ -1,0 +1,464 @@
+"""Host-side graph container for grakel_tpu.
+
+A deliberate redesign of the reference's dual-format ``grakel.Graph``
+(reference: grakel/graph.py:25-1537): instead of maintaining both an
+adjacency matrix and a nested edge dictionary, we normalize every accepted
+input format into ONE canonical representation —
+
+  * ``n``            number of vertices
+  * ``senders``      int32[E]  edge source indices (directed; symmetric
+                     inputs produce both directions)
+  * ``receivers``    int32[E]  edge target indices
+  * ``weights``      float32[E]
+  * ``node_labels``  dict  index -> label   (hashable label, any type)
+  * ``edge_labels``  dict  (i, j) -> label
+  * ``index_of``     dict  original vertex symbol -> index (``edsamic``
+                     equivalent, reference grakel/graph.py:874-915)
+
+Derived data (dense adjacency, shortest-path matrix, laplacian, BFS
+neighborhoods, core numbers) is computed lazily and cached.  Device-side
+batched equivalents live in :mod:`grakel_tpu.batch` / :mod:`grakel_tpu.ops`.
+
+Accepted input formats (reference grakel/graph.py:1539-1706):
+  1. numpy 2-D array (adjacency matrix)
+  2. scipy sparse matrix
+  3. list-of-lists square matrix
+  4. 2-level dict  {u: {v: weight}}
+  5. dict  u -> iterable of neighbors
+  6. iterable of (u, v) edge tuples
+  7. iterable of (u, v, weight) tuples
+"""
+
+from __future__ import annotations
+
+import collections
+import heapq
+import warnings
+
+import numpy as np
+
+try:  # scipy is a hard dep of the project, but keep import local-fail safe
+    import scipy.sparse as sp
+except ImportError:  # pragma: no cover
+    sp = None
+
+__all__ = ["Graph", "is_adjacency", "is_edge_dictionary",
+           "dijkstra", "floyd_warshall"]
+
+
+def is_adjacency(g, transform=False):
+    """Check (and optionally convert) adjacency-style input.
+
+    Mirrors reference grakel/graph.py:1539-1583 semantics: numpy 2-D square
+    arrays, scipy sparse matrices and square lists-of-lists qualify.
+    """
+    if sp is not None and sp.issparse(g):
+        if g.shape[0] != g.shape[1]:
+            raise ValueError("adjacency matrix must be square")
+        return (True, np.asarray(g.todense(), dtype=np.float64)) if transform else True
+    if isinstance(g, np.ndarray):
+        ok = g.ndim == 2 and g.shape[0] == g.shape[1]
+        if not ok:
+            if transform:
+                raise ValueError("numpy adjacency input must be a square 2-D array")
+            return False
+        return (True, g.astype(np.float64)) if transform else True
+    if isinstance(g, list):
+        n = len(g)
+        ok = n > 0 and all(isinstance(r, list) and len(r) == n for r in g)
+        if not ok:
+            return (False, None) if transform else False
+        return (True, np.asarray(g, dtype=np.float64)) if transform else True
+    return (False, None) if transform else False
+
+
+def is_edge_dictionary(g, transform=False):
+    """Check (and optionally normalize) dictionary-style input.
+
+    Mirrors reference grakel/graph.py:1585-1706: 2-level dicts,
+    dict-of-iterables, and iterables of 2/3-tuples.  When ``transform`` is
+    true returns ``(True, edge_dict)`` with a canonical
+    ``{u: {v: weight}}`` nested dict.
+    """
+    def _ret(ok, val=None):
+        return (ok, val) if transform else ok
+
+    if isinstance(g, dict):
+        out = {}
+        vertices = set(g.keys())
+        for u, nbrs in g.items():
+            if isinstance(nbrs, dict):
+                out[u] = {v: float(w) for v, w in nbrs.items()}
+            elif isinstance(nbrs, (list, set, tuple, frozenset)):
+                out[u] = {v: 1.0 for v in nbrs}
+            else:
+                return _ret(False)
+            vertices |= set(out[u].keys())
+        for v in vertices:
+            out.setdefault(v, {})
+        return _ret(True, out)
+    if isinstance(g, (list, set, tuple)) or hasattr(g, "__iter__"):
+        items = list(g)
+        if len(items) == 0:
+            return _ret(True, {})
+        out = {}
+        vertices = set()
+        for t in items:
+            if not isinstance(t, (tuple, list)) or len(t) not in (2, 3):
+                return _ret(False)
+            if len(t) == 2:
+                u, v = t
+                w = 1.0
+            else:
+                u, v, w = t
+                w = float(w)
+            out.setdefault(u, {})[v] = w
+            vertices.add(u)
+            vertices.add(v)
+        for v in vertices:
+            out.setdefault(v, {})
+        return _ret(True, out)
+    return _ret(False)
+
+
+class Graph(object):
+    """Canonical host graph.
+
+    Parameters
+    ----------
+    initialization_object : any of the 7 accepted formats (see module doc).
+    node_labels : dict mapping vertex (symbol or index) -> label.
+    edge_labels : dict mapping (u, v) -> label.
+    graph_format : kept for API compatibility with the reference
+        (``"all"|"adjacency"|"dictionary"|"auto"``); the internal
+        representation is always canonical, so this only controls which
+        *label keying* is assumed for adjacency inputs.
+    """
+
+    def __init__(self, initialization_object=None, node_labels=None,
+                 edge_labels=None, graph_format="auto"):
+        self._format_hint = graph_format
+        self.n = 0
+        self.senders = np.zeros(0, dtype=np.int32)
+        self.receivers = np.zeros(0, dtype=np.int32)
+        self.weights = np.zeros(0, dtype=np.float32)
+        self.node_labels = {}
+        self.edge_labels = {}
+        self.index_of = {}       # symbol -> index
+        self.symbol_of = {}      # index -> symbol
+        self._cache = {}
+        if initialization_object is not None:
+            self.build_graph(initialization_object, node_labels, edge_labels)
+
+    # ------------------------------------------------------------------ #
+    # construction
+    # ------------------------------------------------------------------ #
+    def build_graph(self, g, node_labels=None, edge_labels=None):
+        self._cache = {}
+        ok_adj = is_adjacency(g)
+        if ok_adj and self._format_hint != "dictionary":
+            _, A = is_adjacency(g, transform=True)
+            self._from_adjacency(A)
+        else:
+            ok, ed = is_edge_dictionary(g, transform=True)
+            if not ok:
+                raise ValueError(
+                    "Unsupported graph initialization object of type %s"
+                    % type(g))
+            self._from_edge_dict(ed)
+        self._attach_labels(node_labels, edge_labels)
+        return self
+
+    def _from_adjacency(self, A):
+        self.n = A.shape[0]
+        s, r = np.nonzero(A)
+        self.senders = s.astype(np.int32)
+        self.receivers = r.astype(np.int32)
+        self.weights = A[s, r].astype(np.float32)
+        self.index_of = {i: i for i in range(self.n)}
+        self.symbol_of = {i: i for i in range(self.n)}
+
+    def _from_edge_dict(self, ed):
+        symbols = sorted(ed.keys(), key=lambda x: (str(type(x)), str(x)))
+        self.index_of = {sym: i for i, sym in enumerate(symbols)}
+        self.symbol_of = {i: sym for sym, i in self.index_of.items()}
+        self.n = len(symbols)
+        s, r, w = [], [], []
+        for u, nbrs in ed.items():
+            ui = self.index_of[u]
+            for v, wt in nbrs.items():
+                s.append(ui)
+                r.append(self.index_of[v])
+                w.append(wt)
+        self.senders = np.asarray(s, dtype=np.int32)
+        self.receivers = np.asarray(r, dtype=np.int32)
+        self.weights = np.asarray(w, dtype=np.float32)
+
+    def _attach_labels(self, node_labels, edge_labels):
+        self.node_labels = {}
+        if node_labels:
+            for k, v in node_labels.items():
+                idx = self.index_of.get(k, k if isinstance(k, (int, np.integer)) and 0 <= k < self.n else None)
+                if idx is not None and 0 <= int(idx) < self.n:
+                    self.node_labels[int(idx)] = v
+        self.edge_labels = {}
+        if edge_labels:
+            for (u, v), lab in edge_labels.items():
+                ui = self.index_of.get(u, u)
+                vi = self.index_of.get(v, v)
+                try:
+                    self.edge_labels[(int(ui), int(vi))] = lab
+                except (TypeError, ValueError):
+                    continue
+
+    @classmethod
+    def from_arrays(cls, n, senders, receivers, weights=None,
+                    node_labels=None, edge_labels=None):
+        """Fast path: build directly from index-space arrays (no parsing)."""
+        g = cls()
+        g.n = int(n)
+        g.senders = np.asarray(senders, dtype=np.int32)
+        g.receivers = np.asarray(receivers, dtype=np.int32)
+        g.weights = (np.ones(len(g.senders), np.float32) if weights is None
+                     else np.asarray(weights, dtype=np.float32))
+        g.index_of = {i: i for i in range(g.n)}
+        g.symbol_of = dict(g.index_of)
+        g.node_labels = dict(node_labels) if node_labels else {}
+        g.edge_labels = dict(edge_labels) if edge_labels else {}
+        return g
+
+    # ------------------------------------------------------------------ #
+    # accessors (reference-compatible names)
+    # ------------------------------------------------------------------ #
+    @property
+    def nv(self):
+        return self.n
+
+    def nb_vertices(self):
+        return self.n
+
+    def nb_edges(self):
+        return len(self.senders)
+
+    def get_vertices(self, purpose="any"):
+        return list(range(self.n))
+
+    def get_edges(self, purpose="any"):
+        return list(zip(self.senders.tolist(), self.receivers.tolist()))
+
+    def get_adjacency_matrix(self):
+        if "adj" not in self._cache:
+            A = np.zeros((self.n, self.n), dtype=np.float64)
+            if len(self.senders):
+                A[self.senders, self.receivers] = self.weights
+            self._cache["adj"] = A
+        return self._cache["adj"]
+
+    # alias used throughout the reference API surface
+    adjacency_matrix = property(get_adjacency_matrix)
+
+    def get_labels(self, purpose="any", label_type="vertex", return_none=False):
+        """Return labels keyed by vertex index / edge index-pair.
+
+        reference: grakel/graph.py:471-559 (get_labels with purpose
+        adjacency/dictionary); here a single canonical keying exists.
+        """
+        if label_type in ("vertex", "node"):
+            if not self.node_labels:
+                return None if return_none else {i: 0 for i in range(self.n)}
+            return dict(self.node_labels)
+        elif label_type == "edge":
+            if not self.edge_labels:
+                if return_none:
+                    return None
+                return {(int(u), int(v)): 0
+                        for u, v in zip(self.senders, self.receivers)}
+            return dict(self.edge_labels)
+        raise ValueError("label_type must be 'vertex' or 'edge'")
+
+    def get_label(self, v, label_type="vertex"):
+        return self.get_labels(label_type=label_type)[v]
+
+    def label(self, v, label_type="vertex"):
+        return self.get_label(v, label_type)
+
+    # ------------------------------------------------------------------ #
+    # derived data
+    # ------------------------------------------------------------------ #
+    def neighbors(self, v):
+        if "nbr" not in self._cache:
+            nbr = [[] for _ in range(self.n)]
+            for s, r in zip(self.senders, self.receivers):
+                nbr[s].append(int(r))
+            self._cache["nbr"] = nbr
+        return self._cache["nbr"][v]
+
+    def degrees(self):
+        d = np.zeros(self.n, dtype=np.int64)
+        np.add.at(d, self.senders, 1)
+        return d
+
+    def build_shortest_path_matrix(self, algorithm_type="auto", clean=False,
+                                   labels="vertex"):
+        """All-pairs shortest paths.  Dense Floyd–Warshall on host numpy
+        (the TPU batched variant lives in ops/floyd_warshall.py).
+
+        reference: grakel/graph.py:593-692.  Returns (S, node_labels_dict).
+        """
+        if "sp" not in self._cache or clean:
+            A = self.get_adjacency_matrix()
+            self._cache["sp"] = floyd_warshall(A)
+        labs = self.get_labels(label_type="vertex") if labels else None
+        return self._cache["sp"], labs
+
+    def laplacian(self, save=True):
+        """Weighted Laplacian L = D - A (reference grakel/graph.py:1060)."""
+        A = self.get_adjacency_matrix()
+        L = np.diag(A.sum(axis=1)) - A
+        if save:
+            self._cache["lap"] = L
+        return L
+
+    def produce_neighborhoods(self, r=3, purpose="any", with_distances=False,
+                              d=-1):
+        """BFS neighborhoods N[level][v] for level 0..r, plus (optionally)
+        the set of vertex pairs at each exact distance 0..d.
+
+        reference: grakel/graph.py:1221-1333.  Level sets are cumulative:
+        N[k][v] = all vertices within distance <= k of v.
+        """
+        N = {0: {v: {v} for v in range(self.n)}}
+        D = {}
+        if with_distances:
+            D[0] = {(v, v) for v in range(self.n)}
+        frontier = {v: {v} for v in range(self.n)}
+        visited = {v: {v} for v in range(self.n)}
+        lim = max(r, d if with_distances else 0)
+        for k in range(1, lim + 1):
+            new_frontier = {}
+            for v in range(self.n):
+                nf = set()
+                for u in frontier[v]:
+                    for w in self.neighbors(u):
+                        if w not in visited[v]:
+                            nf.add(w)
+                visited[v] |= nf
+                new_frontier[v] = nf
+            if k <= r:
+                N[k] = {v: set(visited[v]) for v in range(self.n)}
+            if with_distances and k <= d:
+                D[k] = {(v, u) for v in range(self.n) for u in new_frontier[v]}
+            frontier = new_frontier
+        if with_distances:
+            return N, D
+        return N
+
+    def get_subgraph(self, vertices):
+        """Induced subgraph on ``vertices`` with labels remapped to the new
+        compact index space (reference grakel/graph.py:1355-1480)."""
+        vs = sorted(set(int(v) for v in vertices))
+        remap = {v: i for i, v in enumerate(vs)}
+        keep = np.array([(int(s) in remap and int(r) in remap)
+                         for s, r in zip(self.senders, self.receivers)],
+                        dtype=bool)
+        s = np.array([remap[int(x)] for x in self.senders[keep]], np.int32) \
+            if keep.any() else np.zeros(0, np.int32)
+        r = np.array([remap[int(x)] for x in self.receivers[keep]], np.int32) \
+            if keep.any() else np.zeros(0, np.int32)
+        w = self.weights[keep] if keep.any() else np.zeros(0, np.float32)
+        nl = {remap[v]: self.node_labels[v] for v in vs if v in self.node_labels}
+        el = {(remap[int(u)], remap[int(v)]): lab
+              for (u, v), lab in self.edge_labels.items()
+              if int(u) in remap and int(v) in remap}
+        return Graph.from_arrays(len(vs), s, r, w, nl, el)
+
+    def core_numbers(self):
+        """k-core decomposition via the standard bucket algorithm
+        (reference core_framework.py:381-420)."""
+        n = self.n
+        deg = self.degrees().astype(np.int64)
+        order = list(np.argsort(deg, kind="stable"))
+        pos = {int(v): i for i, v in enumerate(order)}
+        bin_start = {}
+        cur = 0
+        for i, v in enumerate(order):
+            d = int(deg[v])
+            if d not in bin_start:
+                bin_start[d] = i
+        core = deg.copy()
+        nbrs = [list(self.neighbors(v)) for v in range(n)]
+        removed = [False] * n
+        for i in range(n):
+            v = int(order[i])
+            removed[v] = True
+            for u in nbrs[v]:
+                if not removed[u] and core[u] > core[v]:
+                    du = int(core[u])
+                    pu = pos[u]
+                    pw = bin_start[du]
+                    w = int(order[pw])
+                    if u != w:
+                        order[pu], order[pw] = order[pw], order[pu]
+                        pos[u], pos[w] = pw, pu
+                    bin_start[du] += 1
+                    core[u] -= 1
+                    if int(core[u]) not in bin_start or bin_start[int(core[u])] > pos[u]:
+                        bin_start[int(core[u])] = pos[u]
+        return {v: int(core[v]) for v in range(n)}
+
+    # compatibility no-ops: the canonical representation serves every purpose
+    def desired_format(self, graph_format="all", warn=False):
+        return self
+
+    def change_format(self, graph_format="all"):
+        return self
+
+    def __len__(self):
+        return self.n
+
+
+def dijkstra(edge_dict_or_graph, source, weights=None):
+    """Single-source shortest paths with a binary heap.
+
+    Accepts either a ``Graph`` or a 2-level edge dict.  Returns a dict
+    vertex -> distance.  (reference grakel/graph.py:1709-1761, built on a
+    priority dict; we use heapq which is the idiomatic stdlib equivalent.)
+    """
+    if isinstance(edge_dict_or_graph, Graph):
+        g = edge_dict_or_graph
+        adj = collections.defaultdict(list)
+        for s, r, w in zip(g.senders, g.receivers, g.weights):
+            adj[int(s)].append((int(r), float(w)))
+    else:
+        adj = {u: [(v, float(w)) for v, w in nbrs.items()]
+               for u, nbrs in edge_dict_or_graph.items()}
+    dist = {source: 0.0}
+    heap = [(0.0, source)]
+    done = set()
+    while heap:
+        d, u = heapq.heappop(heap)
+        if u in done:
+            continue
+        done.add(u)
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if v not in dist or nd < dist[v]:
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist
+
+
+def floyd_warshall(A):
+    """Dense all-pairs shortest paths on a (possibly weighted) adjacency.
+
+    Row-vectorized O(n^3) like the reference (grakel/graph.py:1764-1791):
+    zero entries mean "no edge" (except the diagonal); unreachable pairs
+    stay +inf.
+    """
+    A = np.asarray(A, dtype=np.float64)
+    n = A.shape[0]
+    S = np.where(A > 0, A, np.inf)
+    np.fill_diagonal(S, 0.0)
+    for k in range(n):
+        S = np.minimum(S, S[:, k:k + 1] + S[k:k + 1, :])
+    return S

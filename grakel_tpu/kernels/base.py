@@ -1,0 +1,263 @@
+"""Kernel base class: sklearn-compatible frontend over device Gram assembly.
+
+API parity with the reference ``grakel.kernels.Kernel``
+(reference grakel/kernels/kernel.py:29-403): ``fit`` / ``transform`` /
+``fit_transform`` / ``diagonal`` / ``set_params`` with
+``normalize`` / ``verbose`` / ``n_jobs`` / ``random_state`` constructor
+params, empty-graph warnings, and transform-time unseen-label handling
+delegated to subclasses.
+
+The Gram-assembly strategy is where this departs from the reference:
+instead of an O(N^2) Python ``pairwise_operation`` double loop
+(kernel.py:227-265), subclasses implement ONE of, in preference order:
+
+1. ``_feature_matrix(parsed)``   -> Phi  (np/jnp [n, D])
+      base computes K = Phi @ Phi^T as a single device GEMM
+      (optionally sharded over a mesh — see grakel_tpu.parallel).
+2. ``_gram(parsed_X, parsed_Y)`` -> full custom batched Gram
+      (parsed_Y is None for the symmetric fit_transform case).
+3. ``pairwise_operation(x, y)``  -> scalar; host double-loop fallback for
+      the few intrinsically host-bound kernels (SDP solves etc.), with
+      optional joblib threading like the reference.
+"""
+
+from __future__ import annotations
+
+import copy
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+from sklearn.base import BaseEstimator, TransformerMixin
+from sklearn.exceptions import NotFittedError
+from sklearn.utils import check_random_state
+
+from ..graph import Graph
+from ..ops.gram import gram_gemm, gram_rect, normalize_gram
+
+__all__ = ["Kernel", "normalize_input"]
+
+
+def normalize_input(X):
+    """Normalize user input into a list of :class:`Graph`.
+
+    Accepts an iterable whose elements are ``Graph`` instances or
+    ``[init_obj]`` / ``[init_obj, node_labels]`` /
+    ``[init_obj, node_labels, edge_labels]`` (reference
+    kernel.py:307-355 parse conventions).  Empty elements are skipped
+    with a warning (kernel.py:336-339).
+    """
+    if not hasattr(X, "__iter__"):
+        raise TypeError("input must be an iterable of graphs")
+    out = []
+    for idx, x in enumerate(X):
+        if isinstance(x, Graph):
+            out.append(x)
+            continue
+        if isinstance(x, (tuple, list)):
+            x = list(x)
+            if len(x) == 0:
+                warnings.warn("Ignoring empty element on index: " + str(idx))
+                continue
+            init = x[0]
+            nl = x[1] if len(x) > 1 else None
+            el = x[2] if len(x) > 2 else None
+            g = Graph(init, nl, el)
+            if g.n == 0:
+                warnings.warn("Ignoring empty element on index: " + str(idx))
+                continue
+            out.append(g)
+        elif isinstance(x, (dict, np.ndarray)):
+            g = Graph(x)
+            if g.n == 0:
+                warnings.warn("Ignoring empty element on index: " + str(idx))
+                continue
+            out.append(g)
+        else:
+            raise TypeError(
+                "each element of X must be a Graph or a list "
+                "[init_obj, node_labels, edge_labels], got %s" % type(x))
+    if len(out) == 0:
+        raise ValueError("parsed input is empty")
+    return out
+
+
+class Kernel(BaseEstimator, TransformerMixin):
+    """Base graph kernel (see module docstring)."""
+
+    # subclasses may flip this to request normalized-by-construction output
+    _inherently_normalized = False
+
+    def __init__(self, n_jobs=None, normalize=False, verbose=False):
+        self.n_jobs = n_jobs
+        self.normalize = normalize
+        self.verbose = verbose
+        self._initialized = {}
+        # 1: fit, 2: fit_transform, 3: transform — reference kernel.py:66-71
+        self._method_calling = 0
+
+    # -------------------------------------------------------------- hooks
+    def initialize(self):
+        """(Re)compute derived params; called at every fit entry point."""
+        pass
+
+    def parse_input(self, X):
+        """Subclass: user input -> internal parsed representation."""
+        raise NotImplementedError
+
+    def _feature_matrix(self, parsed):
+        return None
+
+    def _gram(self, parsed_x, parsed_y=None):
+        return None
+
+    def pairwise_operation(self, x, y):
+        raise NotImplementedError
+
+    def _diag(self, parsed):
+        """Optional subclass hook: cheap self-kernel diagonal."""
+        return None
+
+    # ---------------------------------------------------------------- API
+    def fit(self, X, y=None):
+        self._method_calling = 1
+        self._is_transformed = False
+        self.initialize()
+        if X is None:
+            raise ValueError("fit input cannot be None")
+        self.X = self.parse_input(X)
+        self._X_diag = None
+        return self
+
+    def fit_transform(self, X, y=None):
+        self._method_calling = 2
+        self.fit(X)
+        K = self._compute_symmetric(self.X)
+        self._K_fit = K
+        if self.normalize and not self._inherently_normalized:
+            d = np.diagonal(K).copy()
+            self._X_diag = d
+            K = normalize_gram(K, d, d)
+        return np.asarray(K)
+
+    def transform(self, X):
+        self._method_calling = 3
+        if not hasattr(self, "X") or self.X is None:
+            raise NotFittedError("call fit before transform")
+        if X is None:
+            raise ValueError("transform input cannot be None")
+        Y = self.parse_input(X)
+        K = self._compute_rectangular(Y, self.X)
+        self._Y = Y
+        self._is_transformed = True
+        if self.normalize and not self._inherently_normalized:
+            Xd, Yd = self.diagonal()
+            K = normalize_gram(K, Yd, Xd)
+        return np.asarray(K)
+
+    def diagonal(self):
+        """Self-kernel values of fit (and transform, if called) inputs.
+
+        Returns ``X_diag`` after fit/fit_transform, ``(X_diag, Y_diag)``
+        after transform — reference kernel.py:268-306.
+        """
+        if not hasattr(self, "X") or self.X is None:
+            raise NotFittedError("call fit before diagonal")
+        if self._X_diag is None:
+            if hasattr(self, "_K_fit") and self._K_fit is not None:
+                self._X_diag = np.asarray(np.diagonal(self._K_fit)).copy()
+            else:
+                self._X_diag = self._diagonal_of(self.X)
+        if getattr(self, "_is_transformed", False):
+            Y_diag = self._diagonal_of(self._Y)
+            return self._X_diag, Y_diag
+        return self._X_diag
+
+    # ------------------------------------------------------------ helpers
+    def _diagonal_of(self, parsed):
+        d = self._diag(parsed)
+        if d is not None:
+            return np.asarray(d)
+        phi = self._feature_matrix(parsed)
+        if phi is not None:
+            phi = np.asarray(phi)
+            if hasattr(phi, "toarray"):
+                phi = phi.toarray()
+            return np.einsum("ij,ij->i", phi, phi)
+        K = self._gram(parsed, None)
+        if K is not None:
+            return np.asarray(np.diagonal(K)).copy()
+        return np.array([self.pairwise_operation(x, x) for x in parsed])
+
+    def _compute_symmetric(self, parsed):
+        phi = self._feature_matrix(parsed)
+        if phi is not None:
+            return gram_gemm(phi)
+        K = self._gram(parsed, None)
+        if K is not None:
+            return K
+        return self._pairwise_loop(parsed, None)
+
+    def _compute_rectangular(self, parsed_y, parsed_x):
+        phi_y = self._feature_matrix(parsed_y)
+        if phi_y is not None:
+            phi_x = self._feature_matrix(parsed_x)
+            return gram_rect(phi_y, phi_x)
+        K = self._gram(parsed_x, parsed_y)
+        if K is not None:
+            return K
+        return self._pairwise_loop(parsed_y, parsed_x)
+
+    def _pairwise_loop(self, A, B=None):
+        """Host O(N^2) fallback, mirroring reference kernel.py:227-265.
+
+        Symmetric when ``B is None`` (upper triangle + reflect);
+        rectangular rows=A, cols=B otherwise.  joblib threading is applied
+        over pair chunks when ``n_jobs`` is set.
+        """
+        if B is None:
+            n = len(A)
+            K = np.zeros((n, n))
+            pairs = [(i, j) for i in range(n) for j in range(i, n)]
+
+            def work(i, j):
+                K[i, j] = self.pairwise_operation(A[i], A[j])
+
+            self._run_pairs(work, pairs)
+            K = np.triu(K) + np.triu(K, 1).T
+            return K
+        n, m = len(A), len(B)
+        K = np.zeros((n, m))
+        pairs = [(i, j) for i in range(n) for j in range(m)]
+
+        def work(i, j):
+            K[i, j] = self.pairwise_operation(A[i], B[j])
+
+        self._run_pairs(work, pairs)
+        return K
+
+    def _run_pairs(self, work, pairs):
+        n_jobs = self.n_jobs
+        if n_jobs in (None, 0, 1):
+            for i, j in pairs:
+                work(i, j)
+            return
+        try:
+            from joblib import Parallel, delayed
+            eff = n_jobs if n_jobs > 0 else None
+            Parallel(n_jobs=eff, backend="threading", pre_dispatch="all")(
+                delayed(work)(i, j) for i, j in pairs)
+        except ImportError:  # pragma: no cover
+            for i, j in pairs:
+                work(i, j)
+
+    # sklearn plumbing ---------------------------------------------------
+    def set_params(self, **params):
+        super().set_params(**params)
+        for p in params:
+            if p in self._initialized:
+                self._initialized[p] = False
+        return self
+
+    def _rng(self, seed_attr="random_state"):
+        return check_random_state(getattr(self, seed_attr, None))

@@ -1,0 +1,100 @@
+"""Vertex- and edge-label histogram kernels.
+
+Reference semantics: grakel/kernels/vertex_histogram.py and
+edge_histogram.py — per-graph label-frequency vectors, Gram = Phi @ Phi^T,
+with a fit-time label enumeration that is *extended* (never re-fit) at
+transform time so unseen labels land in fresh columns that the fit side
+has zero counts in (vertex_histogram.py:110-126, 179-187).
+
+TPU design: labels never become a dense [n_graphs, n_labels] host matrix;
+instead the flat (graph_id, label_id) COO stream goes through the chunked
+densify+GEMM accumulate in ops/gram.coo_counts_gram.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import Kernel, normalize_input
+from ..batch import bucket_size, enumerate_labels
+from ..ops.gram import coo_counts_gram, coo_counts_gram_rect, counts_diag
+
+__all__ = ["VertexHistogram", "EdgeHistogram"]
+
+
+class _HistogramKernel(Kernel):
+    """Shared machinery; subclass picks vertex vs edge labels."""
+
+    _label_type = "vertex"
+
+    def __init__(self, n_jobs=None, normalize=False, verbose=False,
+                 sparse="auto"):
+        super().__init__(n_jobs=n_jobs, normalize=normalize, verbose=verbose)
+        # `sparse` kept for API compatibility with the reference
+        # (vertex_histogram.py:128-133); the device path is chunked-dense
+        # regardless, so it has no effect here.
+        self.sparse = sparse
+
+    def _collect_labels(self, g):
+        labs = g.get_labels(label_type=self._label_type, return_none=True)
+        if labs is None:
+            raise ValueError(
+                "%s requires %s labels" % (type(self).__name__,
+                                           self._label_type))
+        if self._label_type == "vertex":
+            return [labs[v] for v in range(g.n)]
+        return [labs[(int(s), int(r))]
+                for s, r in zip(g.senders, g.receivers)]
+
+    def parse_input(self, X):
+        graphs = normalize_input(X)
+        if self._method_calling in (1, 2):
+            self._enum = {}
+        elif not hasattr(self, "_enum"):
+            raise ValueError("fit before transform")
+        gids, raw = [], []
+        for gi, g in enumerate(graphs):
+            ls = self._collect_labels(g)
+            raw.extend(ls)
+            gids.extend([gi] * len(ls))
+        labels = enumerate_labels(raw, self._enum, extend=True)
+        n_items = len(labels)
+        pad = bucket_size(max(n_items, 1))
+        gids_a = np.zeros(pad, dtype=np.int32)
+        labs_a = np.zeros(pad, dtype=np.int32)
+        valid = np.zeros(pad, dtype=bool)
+        gids_a[:n_items] = gids
+        labs_a[:n_items] = labels
+        valid[:n_items] = True
+        return {"n": len(graphs), "gids": gids_a, "labels": labs_a,
+                "valid": valid, "n_labels": len(self._enum)}
+
+    def _gram(self, px, py=None):
+        L = max(px["n_labels"], py["n_labels"] if py else 0, 1)
+        ones = np.ones(len(px["gids"]), dtype=np.float32)
+        if py is None:
+            return np.asarray(coo_counts_gram(
+                px["gids"], px["labels"], ones, px["valid"], px["n"], L))
+        ones_y = np.ones(len(py["gids"]), dtype=np.float32)
+        # rows = transform graphs (py), cols = fit graphs (px)
+        return np.asarray(coo_counts_gram_rect(
+            py["gids"], py["labels"], ones_y, py["valid"],
+            px["gids"], px["labels"], ones, px["valid"],
+            py["n"], px["n"], L))
+
+    def _diag(self, parsed):
+        ones = np.ones(len(parsed["gids"]), dtype=np.float32)
+        return np.asarray(counts_diag(
+            parsed["gids"], parsed["labels"], ones, parsed["valid"],
+            parsed["n"], max(parsed["n_labels"], 1)))
+
+
+class VertexHistogram(_HistogramKernel):
+    """Node-label frequency kernel (aliases in the reference: VH,
+    subtree_wl — graph_kernels.py:40-68)."""
+    _label_type = "vertex"
+
+
+class EdgeHistogram(_HistogramKernel):
+    """Edge-label frequency kernel (reference edge_histogram.py)."""
+    _label_type = "edge"

@@ -1,0 +1,180 @@
+"""Gram-matrix assembly ops.
+
+Every feature-map ("F-style") kernel in the reference reduces to
+"feature extraction -> Phi @ Phi^T" (e.g. vertex_histogram.py:179-187).
+Here that product is a single (or chunked) MXU GEMM.  The histogram
+kernels never materialize a dense [n_graphs, n_labels] matrix when the
+label universe is large: `coo_counts_gram` streams label-chunks through
+a densify -> GEMM-accumulate loop under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["gram_gemm", "gram_rect", "normalize_gram",
+           "coo_counts_gram", "coo_counts_gram_rect", "counts_diag"]
+
+
+def _as_f32(x):
+    if hasattr(x, "toarray"):  # scipy sparse
+        x = x.toarray()
+    return jnp.asarray(np.asarray(x), dtype=jnp.float32)
+
+
+@jax.jit
+def _gemm_sym(phi):
+    return jnp.dot(phi, phi.T, preferred_element_type=jnp.float32)
+
+
+@jax.jit
+def _gemm_rect(a, b):
+    return jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+
+
+def gram_gemm(phi):
+    """K = Phi @ Phi^T (symmetric Gram)."""
+    return np.asarray(_gemm_sym(_as_f32(phi)))
+
+
+def gram_rect(phi_rows, phi_cols):
+    """K[i, j] = <phi_rows[i], phi_cols[j]>, truncating/padding the row
+    features to the column feature width (transform semantics: columns =
+    fit graphs; features unseen at fit contribute nothing, reference
+    vertex_histogram.py:182-187)."""
+    a = _as_f32(phi_rows)
+    b = _as_f32(phi_cols)
+    d = b.shape[1]
+    if a.shape[1] > d:
+        a = a[:, :d]
+    elif a.shape[1] < d:
+        a = jnp.pad(a, ((0, 0), (0, d - a.shape[1])))
+    return np.asarray(_gemm_rect(a, b))
+
+
+def normalize_gram(K, diag_rows, diag_cols):
+    """K / sqrt(outer(diag_rows, diag_cols)) with nan guard
+    (reference kernel.py:166-168, weisfeiler_lehman.py:300-305)."""
+    K = np.asarray(K, dtype=np.float64)
+    dr = np.asarray(diag_rows, dtype=np.float64)
+    dc = np.asarray(diag_cols, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = K / np.sqrt(np.outer(dr, dc))
+    return np.nan_to_num(out)
+
+
+# --------------------------------------------------------------------- #
+# chunked COO-count Gram: K[g, g'] = sum_l c[g, l] * c[g', l]
+# --------------------------------------------------------------------- #
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _coo_gram_impl(gids, labels, weights, valid, n_graphs, n_chunks, chunk):
+    """Symmetric Gram over COO (graph, label, weight) triples.
+
+    Labels are processed in `n_chunks` static chunks of width `chunk`;
+    each chunk densifies counts to [n_graphs, chunk] via segment_sum and
+    accumulates one GEMM.  Items with valid=False or label out of the
+    current chunk contribute nothing.
+    """
+    gids = jnp.where(valid, gids, n_graphs)  # park invalid in pad row
+
+    def body(c, K):
+        lo = c * chunk
+        rel = labels - lo
+        in_chunk = valid & (rel >= 0) & (rel < chunk)
+        g = jnp.where(in_chunk, gids, n_graphs)
+        r = jnp.where(in_chunk, rel, 0)
+        seg = g * chunk + r
+        counts = jax.ops.segment_sum(
+            jnp.where(in_chunk, weights, 0.0), seg,
+            num_segments=(n_graphs + 1) * chunk)
+        counts = counts.reshape(n_graphs + 1, chunk)[:n_graphs]
+        return K + jnp.dot(counts, counts.T,
+                           preferred_element_type=jnp.float32)
+
+    K0 = jnp.zeros((n_graphs, n_graphs), dtype=jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, body, K0)
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
+def _coo_gram_rect_impl(gids_a, labels_a, weights_a, valid_a,
+                        gids_b, labels_b, weights_b, valid_b,
+                        n_a, n_b, n_chunks, chunk):
+    def densify(gids, labels, weights, valid, n, lo):
+        rel = labels - lo
+        in_chunk = valid & (rel >= 0) & (rel < chunk)
+        g = jnp.where(in_chunk, gids, n)
+        r = jnp.where(in_chunk, rel, 0)
+        seg = g * chunk + r
+        counts = jax.ops.segment_sum(
+            jnp.where(in_chunk, weights, 0.0), seg,
+            num_segments=(n + 1) * chunk)
+        return counts.reshape(n + 1, chunk)[:n]
+
+    def body(c, K):
+        lo = c * chunk
+        ca = densify(gids_a, labels_a, weights_a, valid_a, n_a, lo)
+        cb = densify(gids_b, labels_b, weights_b, valid_b, n_b, lo)
+        return K + jnp.dot(ca, cb.T, preferred_element_type=jnp.float32)
+
+    K0 = jnp.zeros((n_a, n_b), dtype=jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, body, K0)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _counts_diag_impl(gids, labels, weights, valid, n_graphs, n_chunks, chunk):
+    def body(c, d):
+        lo = c * chunk
+        rel = labels - lo
+        in_chunk = valid & (rel >= 0) & (rel < chunk)
+        g = jnp.where(in_chunk, gids, n_graphs)
+        r = jnp.where(in_chunk, rel, 0)
+        seg = g * chunk + r
+        counts = jax.ops.segment_sum(
+            jnp.where(in_chunk, weights, 0.0), seg,
+            num_segments=(n_graphs + 1) * chunk)
+        counts = counts.reshape(n_graphs + 1, chunk)[:n_graphs]
+        return d + jnp.sum(counts * counts, axis=1)
+
+    return jax.lax.fori_loop(0, n_chunks, body,
+                             jnp.zeros(n_graphs, jnp.float32))
+
+
+def _chunks_for(n_labels, chunk):
+    return max(1, -(-int(n_labels) // chunk))
+
+
+def coo_counts_gram(gids, labels, weights, valid, n_graphs, n_labels,
+                    chunk=4096):
+    """K[g,g'] = sum_l (sum_{i: gid=g, lab=l} w_i) * (same for g')."""
+    chunk = min(chunk, max(128, 1 << (int(n_labels) - 1).bit_length()))
+    nc = _chunks_for(n_labels, chunk)
+    return _coo_gram_impl(jnp.asarray(gids), jnp.asarray(labels),
+                          jnp.asarray(weights, dtype=jnp.float32),
+                          jnp.asarray(valid), int(n_graphs), nc, chunk)
+
+
+def coo_counts_gram_rect(ga, la, wa, va, gb, lb, wb, vb,
+                         n_a, n_b, n_labels, chunk=4096):
+    chunk = min(chunk, max(128, 1 << (int(n_labels) - 1).bit_length()))
+    nc = _chunks_for(n_labels, chunk)
+    return _coo_gram_rect_impl(
+        jnp.asarray(ga), jnp.asarray(la),
+        jnp.asarray(wa, dtype=jnp.float32), jnp.asarray(va),
+        jnp.asarray(gb), jnp.asarray(lb),
+        jnp.asarray(wb, dtype=jnp.float32), jnp.asarray(vb),
+        int(n_a), int(n_b), nc, chunk)
+
+
+def counts_diag(gids, labels, weights, valid, n_graphs, n_labels,
+                chunk=4096):
+    """diag of coo_counts_gram without forming K."""
+    chunk = min(chunk, max(128, 1 << (int(n_labels) - 1).bit_length()))
+    nc = _chunks_for(n_labels, chunk)
+    return _counts_diag_impl(jnp.asarray(gids), jnp.asarray(labels),
+                             jnp.asarray(weights, dtype=jnp.float32),
+                             jnp.asarray(valid), int(n_graphs), nc, chunk)
