@@ -1,0 +1,279 @@
+"""Weisfeiler-Lehman subtree framework.
+
+Reference semantics (grakel/kernels/weisfeiler_lehman.py):
+* ``n_iter`` refinement rounds -> ``n_iter + 1`` label generations
+  (generation 0 = compacted initial labels; weisfeiler_lehman.py:106-110);
+* one base-kernel instance per generation, fed the relabeled graphs,
+  with ``normalize=False`` forced on the inner kernels (:95-104);
+* K = sum over generations (:243-262);
+* transform maps credentials unseen at fit to fresh ids (:385-448).
+
+TPU design — two execution paths:
+
+* **fast path** (base kernel is VertexHistogram, the default): the whole
+  pipeline stays on device.  Refinement = commutative multiset hashing +
+  sort-compaction (ops/wl.py); per-generation Gram = chunked counts-GEMM
+  (ops/gram.py).  Transform recomputes WL on the disjoint union of fit
+  and transform graphs (WL refinement is per-graph independent, so fit
+  ids are unchanged) and evaluates only the rectangular block.
+* **general path** (any other base kernel): host-side credential
+  refinement with per-generation base-kernel instances, mirroring the
+  reference's structure for full API parity.
+"""
+
+from __future__ import annotations
+
+import copy
+import warnings
+
+import numpy as np
+
+from .base import Kernel, normalize_input
+from .histogram import VertexHistogram
+from ..batch import GraphBatch, bucket_size
+from ..graph import Graph
+from ..ops.gram import (coo_counts_gram, coo_counts_gram_rect, counts_diag,
+                        normalize_gram)
+from ..ops import wl as wl_ops
+
+__all__ = ["WeisfeilerLehman"]
+
+
+class WeisfeilerLehman(Kernel):
+    """WL subtree kernel framework."""
+
+    _graph_format = "dictionary"
+
+    def __init__(self, n_jobs=None, normalize=False, verbose=False,
+                 n_iter=5, base_graph_kernel=None):
+        super().__init__(n_jobs=n_jobs, normalize=normalize, verbose=verbose)
+        self.n_iter = n_iter
+        self.base_graph_kernel = base_graph_kernel
+
+    # ------------------------------------------------------------------ #
+    def initialize(self):
+        if not isinstance(self.n_iter, int) or self.n_iter <= 0:
+            raise TypeError("'n_iter' must be a positive integer")
+        self._h = self.n_iter + 1
+        bk = self.base_graph_kernel
+        if bk is None:
+            self._base_cls, self._base_params = VertexHistogram, {}
+        elif isinstance(bk, tuple) and len(bk) == 2:
+            self._base_cls, self._base_params = bk[0], dict(bk[1])
+        elif isinstance(bk, type) and issubclass(bk, Kernel):
+            self._base_cls, self._base_params = bk, {}
+        else:
+            raise TypeError("base_graph_kernel must be None, a Kernel "
+                            "subclass, or a (class, params) tuple")
+        self._base_params.pop("normalize", None)
+        self._fast = (self._base_cls is VertexHistogram
+                      and not self._base_params)
+
+    # ------------------------------------------------------------------ #
+    def parse_input(self, X):
+        return normalize_input(X)
+
+    def fit(self, X, y=None):
+        self._method_calling = 1
+        self._is_transformed = False
+        self.initialize()
+        self.X = self.parse_input(X)
+        self._X_diag = None
+        if not self._fast:
+            self._host_fit(self.X, with_gram=False)
+        return self
+
+    def fit_transform(self, X, y=None):
+        self._method_calling = 2
+        self._is_transformed = False
+        self.initialize()
+        self.X = self.parse_input(X)
+        self._X_diag = None
+        if self._fast:
+            K, diag = self._device_sym(self.X)
+        else:
+            K = self._host_fit(self.X, with_gram=True)
+            diag = np.diagonal(K).copy()
+        self._X_diag = diag
+        self._K_fit = K
+        if self.normalize:
+            K = normalize_gram(K, diag, diag)
+        return np.asarray(K)
+
+    def transform(self, X):
+        self._method_calling = 3
+        if not hasattr(self, "X") or self.X is None:
+            from sklearn.exceptions import NotFittedError
+            raise NotFittedError("call fit before transform")
+        Y = self.parse_input(X)
+        if self._fast:
+            K, xd, yd = self._device_rect(self.X, Y)
+            if self._X_diag is None:
+                self._X_diag = xd
+        else:
+            K = self._host_transform(Y)
+            yd = self._host_diag_y(Y)
+            if self._X_diag is None:
+                self._X_diag = self._host_diag_x()
+        self._Y_diag = yd
+        self._is_transformed = True
+        if self.normalize:
+            K = normalize_gram(K, self._Y_diag, self._X_diag)
+        return np.asarray(K)
+
+    def diagonal(self):
+        from sklearn.exceptions import NotFittedError
+        if not hasattr(self, "X") or self.X is None:
+            raise NotFittedError("call fit before diagonal")
+        if self._X_diag is None:
+            if self._fast:
+                _, self._X_diag = self._device_sym(self.X)
+            else:
+                self._X_diag = self._host_diag_x()
+        if getattr(self, "_is_transformed", False):
+            return self._X_diag, self._Y_diag
+        return self._X_diag
+
+    # ------------------------------------------------------- device path
+    def _generations(self, batch):
+        """Yield (labels, n_labels_bound) for generations 0..n_iter."""
+        labels = batch.node_labels
+        n_labels = max(batch.num_node_labels, 1)
+        yield labels, n_labels
+        for _ in range(self.n_iter):
+            labels, nu = wl_ops.wl_refine(
+                labels, batch.senders, batch.receivers,
+                batch.edge_mask, batch.node_mask)
+            yield labels, bucket_size(int(nu))
+
+    def _device_sym(self, graphs):
+        batch = GraphBatch.from_graphs(graphs, node_label_enum={})
+        n = batch.n_graphs
+        gids = batch.node_graph_ids
+        valid = batch.node_mask
+        ones = np.ones(int(gids.shape[0]), np.float32)
+        K = np.zeros((n, n), np.float32)
+        diag = np.zeros(n, np.float32)
+        for labels, L in self._generations(batch):
+            K += np.asarray(coo_counts_gram(gids, labels, ones, valid, n, L))
+        diag = np.diagonal(K).copy()
+        return K, diag
+
+    def _device_rect(self, Xg, Yg):
+        nx, ny = len(Xg), len(Yg)
+        batch = GraphBatch.from_graphs(list(Xg) + list(Yg),
+                                       node_label_enum={})
+        gids = np.asarray(batch.node_graph_ids)
+        valid = np.asarray(batch.node_mask)
+        is_y = gids >= nx
+        gids_y = np.where(is_y, gids - nx, 0).astype(np.int32)
+        gids_x = np.where(is_y, 0, gids).astype(np.int32)
+        vy = valid & is_y
+        vx = valid & ~is_y
+        ones = np.ones(gids.shape[0], np.float32)
+        K = np.zeros((ny, nx), np.float32)
+        xd = np.zeros(nx, np.float32)
+        yd = np.zeros(ny, np.float32)
+        for labels, L in self._generations(batch):
+            K += np.asarray(coo_counts_gram_rect(
+                gids_y, labels, ones, vy, gids_x, labels, ones, vx,
+                ny, nx, L))
+            xd += np.asarray(counts_diag(gids_x, labels, ones, vx, nx, L))
+            yd += np.asarray(counts_diag(gids_y, labels, ones, vy, ny, L))
+        return K, xd, yd
+
+    # --------------------------------------------------------- host path
+    def _host_generations(self, graphs, inv_labels=None, extend=True):
+        """Host credential refinement.  Yields per-generation relabeled
+        Graph lists; records fit-time credential dicts in self._inv_labels
+        when ``inv_labels`` is None (fit), else reuses/extends them."""
+        fit_mode = inv_labels is None
+        if fit_mode:
+            self._inv_labels = {}
+        store = self._inv_labels
+        nbrs = [[g.neighbors(v) for v in range(g.n)] for g in graphs]
+        # generation 0: compact initial labels
+        labs = [dict(g.get_labels()) for g in graphs]
+        if fit_mode:
+            mapping = {}
+            for d in labs:
+                for lab in sorted(set(d.values()), key=str):
+                    if lab not in mapping:
+                        mapping[lab] = len(mapping)
+            store[0] = mapping
+        else:
+            mapping = dict(store[0])
+            for d in labs:
+                for lab in sorted(set(d.values()), key=str):
+                    if lab not in mapping:
+                        mapping[lab] = len(mapping)
+        cur = [{v: mapping[d[v]] for v in d} for d in labs]
+        yield self._materialize(graphs, cur)
+        for it in range(1, self._h):
+            creds = []
+            for gi, g in enumerate(graphs):
+                c = {}
+                for v in range(g.n):
+                    neigh = sorted(cur[gi][u] for u in nbrs[gi][v])
+                    c[v] = (cur[gi][v], tuple(neigh))
+                creds.append(c)
+            if fit_mode:
+                mapping = {}
+                for c in creds:
+                    for cred in sorted(set(c.values())):
+                        if cred not in mapping:
+                            mapping[cred] = len(mapping)
+                store[it] = mapping
+            else:
+                mapping = dict(store[it])
+                for c in creds:
+                    for cred in sorted(set(c.values())):
+                        if cred not in mapping:
+                            mapping[cred] = len(mapping)
+            cur = [{v: mapping[c[v]] for v in c} for c in creds]
+            yield self._materialize(graphs, cur)
+
+    @staticmethod
+    def _materialize(graphs, labelings):
+        return [Graph.from_arrays(g.n, g.senders, g.receivers, g.weights,
+                                  labelings[i], g.edge_labels)
+                for i, g in enumerate(graphs)]
+
+    def _host_fit(self, graphs, with_gram):
+        self._base_kernels = {}
+        K = None
+        for i, gen in enumerate(self._host_generations(graphs)):
+            bk = self._base_cls(normalize=False, verbose=self.verbose,
+                                **self._base_params)
+            self._base_kernels[i] = bk
+            if with_gram:
+                Ki = bk.fit_transform(gen)
+                K = Ki if K is None else K + Ki
+            else:
+                bk.fit(gen)
+        return K
+
+    def _host_transform(self, Y):
+        K = None
+        for i, gen in enumerate(
+                self._host_generations(Y, inv_labels=self._inv_labels)):
+            Ki = self._base_kernels[i].transform(gen)
+            K = Ki if K is None else K + Ki
+        return K
+
+    def _host_diag_x(self):
+        d = None
+        for i, bk in self._base_kernels.items():
+            di = bk.diagonal()
+            if isinstance(di, tuple):
+                di = di[0]
+            d = di if d is None else d + di
+        return np.asarray(d)
+
+    def _host_diag_y(self, Y):
+        d = None
+        for i, bk in self._base_kernels.items():
+            di = bk.diagonal()
+            if isinstance(di, tuple):
+                d = di[1] if d is None else d + di[1]
+        return np.asarray(d) if d is not None else None

@@ -1,0 +1,84 @@
+"""Weisfeiler-Lehman label refinement as device ops.
+
+The reference relabels with Python string credentials
+``str(l(v)) + "," + str(sorted(neighbor labels))`` and a global sorted
+re-enumeration (reference weisfeiler_lehman.py:213-241).  Credential
+identity only depends on (own label, neighbor-label *multiset*), so a
+TPU-native refinement step is:
+
+1. hash each node's (own label, neighbor multiset) with a pair of
+   independent 32-bit commutative multiset hashes (sums of mixed
+   neighbor labels wrap mod 2^32 — order-free, exactly matching the
+   sorted-credential semantics);
+2. compact hash pairs to dense ids by lexsort + boundary cumsum — a
+   fully on-device, static-shape replacement for the host dict.
+
+Gram matrices are label-permutation invariant, so the ids produced here
+(ranked by hash value instead of credential string) yield Grams equal to
+the reference's (SURVEY.md §7.3).  Collisions: two distinct credentials
+colliding in BOTH 32-bit hashes has probability ~2^-64 per pair; with
+~1e6 distinct credentials the chance of any collision is ~1e-7.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["wl_refine", "compact_ids"]
+
+_U = jnp.uint32
+
+
+def _fmix32(x, seed):
+    """murmur3-style 32-bit finalizer with a seed fold."""
+    x = x ^ _U(seed)
+    x = x ^ (x >> 16)
+    x = x * _U(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * _U(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def compact_ids(h1, h2, valid):
+    """Dense ids for equal (h1, h2) pairs; invalid rows get the last id.
+
+    Returns (ids int32[N], n_unique int32 scalar incl. the pad id when
+    any invalid rows exist).
+    """
+    n = h1.shape[0]
+    big = _U(0xFFFFFFFF)
+    h1 = jnp.where(valid, h1, big)
+    h2 = jnp.where(valid, h2, big)
+    order = jnp.lexsort((h2, h1))
+    s1 = h1[order]
+    s2 = h2[order]
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])])
+    ids_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+    ids = jnp.zeros(n, jnp.int32).at[order].set(ids_sorted)
+    return ids, ids_sorted[-1] + 1
+
+
+@jax.jit
+def wl_refine(labels, senders, receivers, edge_valid, node_valid):
+    """One WL refinement: labels int32[N] -> (new ids int32[N], n_unique).
+
+    ``senders``/``receivers`` hold both directions of undirected edges;
+    each receiver aggregates its in-neighbors' labels (matching the
+    reference's neighbor-set credential).
+    """
+    l = labels.astype(_U)
+    nl = l[senders]
+    m1 = jnp.where(edge_valid, _fmix32(nl, 0x9E3779B9), _U(0))
+    m2 = jnp.where(edge_valid, _fmix32(nl, 0x7F4A7C15), _U(0))
+    n = labels.shape[0]
+    sum1 = jax.ops.segment_sum(m1, receivers, num_segments=n)
+    sum2 = jax.ops.segment_sum(m2, receivers, num_segments=n)
+    h1 = _fmix32(l * _U(0x9E3779B9) + sum1, 0x165667B1)
+    h2 = _fmix32(l * _U(0x85EBCA6B) + sum2, 0x27D4EB2F)
+    return compact_ids(h1, h2, node_valid)
