@@ -2,11 +2,14 @@
 
 from .base import Kernel
 from .histogram import VertexHistogram, EdgeHistogram
+from .shortest_path import ShortestPath, ShortestPathAttr
 from .weisfeiler_lehman import WeisfeilerLehman
 
 __all__ = [
     "Kernel",
     "VertexHistogram",
     "EdgeHistogram",
+    "ShortestPath",
+    "ShortestPathAttr",
     "WeisfeilerLehman",
 ]

@@ -1,0 +1,51 @@
+"""Distribution layer tests on the virtual 8-device CPU mesh
+(conftest sets xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from grakel_tpu.parallel import (make_mesh, ring_gram, shard_batch,
+                                 sharded_counts_gram)
+
+
+def test_ring_gram_matches_gemm():
+    mesh = make_mesh(8)
+    rng = np.random.RandomState(0)
+    phi = rng.randn(32, 56).astype(np.float32)
+    K = np.asarray(ring_gram(mesh, jnp.asarray(phi)))
+    np.testing.assert_allclose(K, phi @ phi.T, rtol=1e-5, atol=1e-5)
+
+
+def test_ring_gram_smaller_mesh():
+    mesh = make_mesh(4)
+    rng = np.random.RandomState(1)
+    phi = rng.randn(16, 40).astype(np.float32)
+    K = np.asarray(ring_gram(mesh, jnp.asarray(phi)))
+    np.testing.assert_allclose(K, phi @ phi.T, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_counts_gram_matches_dense():
+    rng = np.random.RandomState(2)
+    n_graphs, n_labels, n_items = 13, 7, 500
+    gids = rng.randint(0, n_graphs, n_items).astype(np.int32)
+    labels = rng.randint(0, n_labels, n_items).astype(np.int32)
+    weights = np.ones(n_items, np.float32)
+    valid = rng.rand(n_items) < 0.9
+
+    dense = np.zeros((n_graphs, n_labels), np.float32)
+    for g, l, w, v in zip(gids, labels, weights, valid):
+        if v:
+            dense[g, l] += w
+    expected = dense @ dense.T
+
+    mesh = make_mesh(8)
+    lg, lb, lw, lv, rows = shard_batch(gids, labels, weights, valid,
+                                       n_graphs, 8)
+    K = np.asarray(sharded_counts_gram(mesh, lg, lb, lw, lv, rows, n_labels))
+    assert K.shape == (8 * rows, 8 * rows)
+    np.testing.assert_allclose(K[:n_graphs, :n_graphs], expected,
+                               rtol=1e-5, atol=1e-5)
+    # padded rows/cols must be zero
+    assert np.all(K[n_graphs:] == 0) and np.all(K[:, n_graphs:] == 0)
