@@ -2,6 +2,7 @@
 
 from .base import Kernel
 from .histogram import VertexHistogram, EdgeHistogram
+from .neighborhood_hash import NeighborhoodHash
 from .shortest_path import ShortestPath, ShortestPathAttr
 from .weisfeiler_lehman import WeisfeilerLehman
 
@@ -9,6 +10,7 @@ __all__ = [
     "Kernel",
     "VertexHistogram",
     "EdgeHistogram",
+    "NeighborhoodHash",
     "ShortestPath",
     "ShortestPathAttr",
     "WeisfeilerLehman",

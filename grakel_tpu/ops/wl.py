@@ -68,17 +68,18 @@ def compact_ids(h1, h2, valid):
 def wl_refine(labels, senders, receivers, edge_valid, node_valid):
     """One WL refinement: labels int32[N] -> (new ids int32[N], n_unique).
 
-    ``senders``/``receivers`` hold both directions of undirected edges;
-    each receiver aggregates its in-neighbors' labels (matching the
-    reference's neighbor-set credential).
+    Each node aggregates the labels of its OUT-neighbors (edge u->v
+    contributes l(v) to u), matching the reference's
+    ``neighbors(purpose='any')`` credential; undirected inputs carry both
+    edge directions so the distinction only matters for directed graphs.
     """
     l = labels.astype(_U)
-    nl = l[senders]
+    nl = l[receivers]
     m1 = jnp.where(edge_valid, _fmix32(nl, 0x9E3779B9), _U(0))
     m2 = jnp.where(edge_valid, _fmix32(nl, 0x7F4A7C15), _U(0))
     n = labels.shape[0]
-    sum1 = jax.ops.segment_sum(m1, receivers, num_segments=n)
-    sum2 = jax.ops.segment_sum(m2, receivers, num_segments=n)
+    sum1 = jax.ops.segment_sum(m1, senders, num_segments=n)
+    sum2 = jax.ops.segment_sum(m2, senders, num_segments=n)
     h1 = _fmix32(l * _U(0x9E3779B9) + sum1, 0x165667B1)
     h2 = _fmix32(l * _U(0x85EBCA6B) + sum2, 0x27D4EB2F)
     return compact_ids(h1, h2, node_valid)

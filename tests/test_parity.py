@@ -101,6 +101,21 @@ class TestShortestPath:
         check_pair("ShortestPath", fit, tr, normalize=True)
 
 
+class TestNeighborhoodHash:
+    def test_simple(self, mutag_split):
+        fit, tr = mutag_split
+        check_pair("NeighborhoodHash", fit, tr, random_state=42)
+
+    def test_count_sensitive(self, mutag_split):
+        fit, tr = mutag_split
+        check_pair("NeighborhoodHash", fit, tr, random_state=42,
+                   nh_type="count_sensitive")
+
+    def test_more_rounds_bits(self, mutag_split):
+        fit, tr = mutag_split
+        check_pair("NeighborhoodHash", fit, tr, random_state=7, R=5, bits=6)
+
+
 class TestWeisfeilerLehman:
     def test_gram(self, mutag_split):
         fit, tr = mutag_split
