@@ -179,7 +179,14 @@ class Graph(object):
         self.symbol_of = {i: i for i in range(self.n)}
 
     def _from_edge_dict(self, ed):
-        symbols = sorted(ed.keys(), key=lambda x: (str(type(x)), str(x)))
+        # natural sort when keys are mutually comparable (ints etc.) to
+        # match the reference's vertex enumeration (grakel/graph.py:159
+        # `sorted(vertices)`); heterogeneous keys fall back to a stable
+        # type-then-string order.
+        try:
+            symbols = sorted(ed.keys())
+        except TypeError:
+            symbols = sorted(ed.keys(), key=lambda x: (str(type(x)), str(x)))
         self.index_of = {sym: i for i, sym in enumerate(symbols)}
         self.symbol_of = {i: sym for sym, i in self.index_of.items()}
         self.n = len(symbols)

@@ -101,6 +101,51 @@ class TestShortestPath:
         check_pair("ShortestPath", fit, tr, normalize=True)
 
 
+@pytest.fixture(scope="module")
+def mutag_small(mutag):
+    return mutag[:25], mutag[25:35]
+
+
+class TestRandomWalk:
+    def test_fast_geometric_cg(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("RandomWalk", fit, tr, rtol=5e-3, atol=1e-3)
+
+    def test_fast_exponential_spectral(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("RandomWalk", fit, tr, rtol=5e-3, atol=1e-3,
+                   kernel_type="exponential")
+
+    def test_fast_pstep_spectral(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("RandomWalk", fit, tr, rtol=5e-3, atol=1e-3, p=3)
+
+    def test_baseline_geometric(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("RandomWalk", fit, tr, rtol=5e-3, atol=1e-3,
+                   method_type="baseline")
+
+    def test_baseline_pstep(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("RandomWalk", fit, tr, rtol=5e-3, atol=1e-3,
+                   method_type="baseline", p=2)
+
+
+class TestRandomWalkLabeled:
+    def test_fast_geometric_cg(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("RandomWalkLabeled", fit, tr, rtol=5e-3, atol=1e-3)
+
+    def test_pstep(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("RandomWalkLabeled", fit, tr, rtol=5e-3, atol=1e-3, p=2)
+
+    def test_baseline_geometric(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("RandomWalkLabeled", fit, tr, rtol=5e-3, atol=1e-3,
+                   method_type="baseline")
+
+
 class TestNeighborhoodHash:
     def test_simple(self, mutag_split):
         fit, tr = mutag_split
@@ -114,6 +159,63 @@ class TestNeighborhoodHash:
     def test_more_rounds_bits(self, mutag_split):
         fit, tr = mutag_split
         check_pair("NeighborhoodHash", fit, tr, random_state=7, R=5, bits=6)
+
+
+@pytest.fixture(scope="module")
+def cuneiform_attr():
+    from grakel_tpu.datasets import read_data
+    bunch = read_data("Cuneiform", path=DATA, prefer_attr_nodes=True)
+    return bunch.data[:30], bunch.data[30:40]
+
+
+class TestPropagation:
+    def test_tv(self, mutag_split):
+        fit, tr = mutag_split
+        check_pair("Propagation", fit, tr, random_state=11)
+
+    def test_hellinger(self, mutag_split):
+        fit, tr = mutag_split
+        check_pair("Propagation", fit, tr, random_state=11, M="H", t_max=3)
+
+    def test_unseen_labels(self, mutag):
+        # craft a transform set with labels absent at fit
+        fit = mutag[:30]
+        tr = []
+        for edges, nl, el in mutag[30:36]:
+            nl2 = dict(nl)
+            first = next(iter(nl2))
+            nl2[first] = 999  # unseen label
+            tr.append([edges, nl2, el])
+        check_pair("Propagation", fit, tr, random_state=5)
+
+    def test_attr(self, cuneiform_attr):
+        fit, tr = cuneiform_attr
+        check_pair("PropagationAttr", fit, tr, random_state=3, rtol=1e-4,
+                   atol=1e-5)
+
+
+class TestPyramidMatch:
+    def test_dense_path_labeled(self, mutag_small):
+        # d=30 forces the deterministic dense-eig embedding path in both
+        # implementations (ARPACK with random start vectors is only
+        # deterministic up to eigen-degeneracies)
+        fit, tr = mutag_small
+        check_pair("PyramidMatch", fit, tr, d=30, rtol=1e-4, atol=1e-5)
+
+    def test_dense_path_unlabeled(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("PyramidMatch", fit, tr, d=30, with_labels=False,
+                   rtol=1e-4, atol=1e-5)
+
+    def test_default_psd_and_close(self, mutag_small):
+        # default d=6 uses ARPACK; allow loose tolerance
+        fit, _ = mutag_small
+        import grakel.kernels as rk
+        import grakel_tpu.kernels as ok
+        K_ref = np.asarray(rk.PyramidMatch().fit_transform(fit), np.float64)
+        K_our = np.asarray(ok.PyramidMatch().fit_transform(fit), np.float64)
+        rel = np.abs(K_our - K_ref) / np.maximum(np.abs(K_ref), 1.0)
+        assert np.median(rel) < 1e-3
 
 
 class TestWeisfeilerLehman:
