@@ -327,37 +327,59 @@ class Graph(object):
         return L
 
     def produce_neighborhoods(self, r=3, purpose="any", with_distances=False,
-                              d=-1):
-        """BFS neighborhoods N[level][v] for level 0..r, plus (optionally)
-        the set of vertex pairs at each exact distance 0..d.
+                              d=-1, sort_neighbors=True):
+        """Level neighborhoods exactly as the reference computes them
+        (grakel/graph.py:1221-1333), including its doubling recursion:
+        ``N[level+1][i] = union of N[level][w] for w in N[level][i]`` —
+        so ``N[k]`` for k >= 2 is the ball of radius 2^(k-1), NOT k, and
+        the "distance" assigned to pairs first appearing at level k is k.
+        NSPD's published features depend on this exact behavior.
 
-        reference: grakel/graph.py:1221-1333.  Level sets are cumulative:
-        N[k][v] = all vertices within distance <= k of v.
+        Returns ``N`` alone, or ``(N, D, Dist_pair)`` when
+        ``with_distances``: D[level] = set of (i, j) pairs first reached
+        at that level, Dist_pair maps each such pair to its level.
         """
-        N = {0: {v: {v} for v in range(self.n)}}
-        D = {}
+        if r < 0:
+            raise ValueError("r must be positive or equal to zero")
+        if with_distances and d < 0:
+            d = r
+            warnings.warn("negative d as input - d set to r")
+        chain = (lambda n: sorted(n)) if sort_neighbors else (lambda n: n)
+        vertices = list(range(self.n))
+        N = {0: {i: {i} for i in vertices}}
         if with_distances:
-            D[0] = {(v, v) for v in range(self.n)}
-        frontier = {v: {v} for v in range(self.n)}
-        visited = {v: {v} for v in range(self.n)}
-        lim = max(r, d if with_distances else 0)
-        for k in range(1, lim + 1):
-            new_frontier = {}
-            for v in range(self.n):
-                nf = set()
-                for u in frontier[v]:
-                    for w in self.neighbors(u):
-                        if w not in visited[v]:
-                            nf.add(w)
-                visited[v] |= nf
-                new_frontier[v] = nf
-            if k <= r:
-                N[k] = {v: set(visited[v]) for v in range(self.n)}
-            if with_distances and k <= d:
-                D[k] = {(v, u) for v in range(self.n) for u in new_frontier[v]}
-            frontier = new_frontier
+            D = {0: set(zip(vertices, vertices))}
+            Dist_pair = {(v, v): 0 for v in vertices}
+        if r > 0:
+            N[1] = {}
+            if with_distances and d >= 1:
+                D[1] = set()
+            for i in vertices:
+                ns = list(self.neighbors(i))
+                N[1][i] = chain([i] + ns)
+                if with_distances and d >= 1:
+                    dset = {(i, n) for n in ns}
+                    Dist_pair.update(zip(dset, len(dset) * [1]))
+                    D[1] |= dset
+            for level in range(1, max(r, d if with_distances else 0)):
+                N[level + 1] = {}
+                if with_distances and level <= d - 1:
+                    D[level + 1] = set()
+                for i in vertices:
+                    neighbors = set()
+                    for w in N[level][i]:
+                        neighbors |= set(N[level][w])
+                    N[level + 1][i] = chain(list(neighbors))
+                    if with_distances and level <= d - 1:
+                        dset = {(i, j)
+                                for j in (neighbors - set(N[level][i]))}
+                        Dist_pair.update(zip(dset, len(dset) * [level + 1]))
+                        D[level + 1] |= dset
+            if with_distances:
+                for level in range(r + 1, d):
+                    N.pop(level, None)
         if with_distances:
-            return N, D
+            return N, D, Dist_pair
         return N
 
     def get_subgraph(self, vertices):

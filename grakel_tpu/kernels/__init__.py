@@ -1,19 +1,28 @@
 """Graph kernels (device-batched, sklearn-compatible)."""
 
 from .base import Kernel
+from .core_framework import CoreFramework
 from .histogram import VertexHistogram, EdgeHistogram
+from .hadamard_code import HadamardCode
 from .neighborhood_hash import NeighborhoodHash
+from .nspd import NeighborhoodSubgraphPairwiseDistance
+from .odd_sth import OddSth
 from .propagation import Propagation, PropagationAttr
 from .pyramid_match import PyramidMatch
 from .random_walk import RandomWalk, RandomWalkLabeled
 from .shortest_path import ShortestPath, ShortestPathAttr
 from .weisfeiler_lehman import WeisfeilerLehman
+from .wl_optimal_assignment import WeisfeilerLehmanOptimalAssignment
 
 __all__ = [
     "Kernel",
+    "CoreFramework",
     "VertexHistogram",
     "EdgeHistogram",
+    "HadamardCode",
     "NeighborhoodHash",
+    "NeighborhoodSubgraphPairwiseDistance",
+    "OddSth",
     "Propagation",
     "PropagationAttr",
     "PyramidMatch",
@@ -22,4 +31,5 @@ __all__ = [
     "ShortestPath",
     "ShortestPathAttr",
     "WeisfeilerLehman",
+    "WeisfeilerLehmanOptimalAssignment",
 ]

@@ -1,0 +1,257 @@
+"""Neighborhood Subgraph Pairwise Distance kernel (Costa & De Grave 2010).
+
+Reference semantics (grakel/kernels/neighborhood_subgraph_pairwise_distance.py):
+
+* per graph: level neighborhoods + pair "distances" from
+  ``Graph.produce_neighborhoods`` (including the reference's doubling
+  recursion — see graph.py docstring);
+* every rooted neighborhood is hashed to a 32-bit value: vertex labels
+  are the sorted join of "dist,label" strings over in-neighborhood
+  pairs, expanded over edges, hashed with the ArashPartov string hash
+  (:357-445);
+* features per (radius r <= R, distance d <= D) level: counts of
+  (hash(root A ngbhd), hash(root B ngbhd)) keys over pairs (A, B) at
+  distance d (:170-231); transform keys extend the fit enumeration;
+* Gram = sum over levels of the PER-LEVEL-NORMALIZED count Gram
+  (Q = K / sqrt(outer(diag, diag)), nan diag -> 1) (:306-325);
+  ``normalize=True`` divides by the level count; diagonal() reports the
+  level count (:326-355).
+
+TPU split: neighborhood hashing is host string work (exact-parity with
+the reference's encodings, AP hash reimplemented below); each level's
+count Gram runs as a chunked device counts-GEMM.
+"""
+
+from __future__ import annotations
+
+import warnings
+from collections import defaultdict
+from itertools import filterfalse
+
+import numpy as np
+
+from .base import Kernel, normalize_input
+from ..batch import bucket_size
+from ..ops.gram import coo_counts_gram, coo_counts_gram_rect
+
+__all__ = ["NeighborhoodSubgraphPairwiseDistance", "ap_hash"]
+
+_M32 = 0xFFFFFFFF
+
+
+def ap_hash(s):
+    """ArashPartov string hash over the bytes of ``s`` (uint32).
+
+    Same arithmetic as the reference's C implementation
+    (_c_functions/src/ArashPartov.cpp:8-20; public hash from
+    partow.net/programming/hashfunctions).
+    """
+    h = 0xAAAAAAAA
+    for i, b in enumerate(s.encode("utf-8")):
+        if (i & 1) == 0:
+            h ^= ((h << 7) ^ (b * (h >> 3))) & _M32
+        else:
+            h ^= (~((h << 11) + (b ^ (h >> 5))) & _M32)
+        h &= _M32
+    return h
+
+
+def _hash_graph(D, vertices, edges, glv, gle):
+    """Canonical neighborhood encoding -> AP hash (reference :394-445)."""
+    encoding = ""
+    Lv = {}
+    for i in vertices:
+        label = "|".join(sorted(str(D[(i, j)]) + "," + str(glv[j])
+                                for j in vertices if (i, j) in D))
+        encoding += label + "."
+        Lv[i] = label
+    encoding = encoding[:-1] + ":"
+    for (i, j) in edges:
+        encoding += Lv[i] + "," + Lv[j] + "," + str(gle[(i, j)]) + "_"
+    return ap_hash(encoding)
+
+
+class NeighborhoodSubgraphPairwiseDistance(Kernel):
+    """NSPD kernel with radius ``r`` and distance ``d`` levels."""
+
+    def __init__(self, n_jobs=None, normalize=False, verbose=False,
+                 r=3, d=4):
+        super().__init__(n_jobs=n_jobs, normalize=normalize, verbose=verbose)
+        self.r = r
+        self.d = d
+
+    def initialize(self):
+        if not isinstance(self.r, int) or self.r < 0:
+            raise TypeError("r must be a non-negative integer")
+        if not isinstance(self.d, int) or self.d < 0:
+            raise TypeError("d must be a non-negative integer")
+
+    # ------------------------------------------------------------------ #
+    def _hash_neighborhoods(self, n, edges, Lv, Le, N, D_pair):
+        H = {}
+        sel = sorted(edges)
+        for v in range(n):
+            re = sel
+            for radius in range(self.r, -1, -1):
+                sub_vertices = sorted(N[radius][v])
+                sv = set(sub_vertices)
+                re = {(i, j) for (i, j) in re if i in sv and j in sv}
+                H[radius, v] = _hash_graph(D_pair, sub_vertices, re, Lv, Le)
+        return H
+
+    def parse_input(self, X):
+        graphs = normalize_input(X)
+        ng = 0
+        data = defaultdict(dict)
+        all_keys = defaultdict(dict)
+        for g in graphs:
+            Lv = g.get_labels(label_type="vertex")
+            Le = g.get_labels(label_type="edge")
+            edges = {(int(s), int(r_))
+                     for s, r_ in zip(g.senders, g.receivers)}
+            N, D, D_pair = g.produce_neighborhoods(
+                self.r, with_distances=True, d=self.d)
+            H = self._hash_neighborhoods(g.n, edges, Lv, Le, N, D_pair)
+            if self._method_calling in (1, 2):
+                for d in filterfalse(lambda x: x not in D,
+                                     range(self.d + 1)):
+                    for (A, B) in D[d]:
+                        for r_ in range(self.r + 1):
+                            key = (H[r_, A], H[r_, B])
+                            keys = all_keys[r_, d]
+                            idx = keys.get(key)
+                            if idx is None:
+                                idx = len(keys)
+                                keys[key] = idx
+                            data[r_, d][ng, idx] = \
+                                data[r_, d].get((ng, idx), 0) + 1
+            else:
+                for d in filterfalse(lambda x: x not in D,
+                                     range(self.d + 1)):
+                    for (A, B) in D[d]:
+                        for r_ in range(self.r + 1):
+                            keys = all_keys[r_, d]
+                            fit_keys = self._fit_keys[r_, d]
+                            key = (H[r_, A], H[r_, B])
+                            idx = fit_keys.get(key)
+                            if idx is None:
+                                idx = keys.get(key)
+                                if idx is None:
+                                    idx = len(keys) + len(fit_keys)
+                                    keys[key] = idx
+                            data[r_, d][ng, idx] = \
+                                data[r_, d].get((ng, idx), 0) + 1
+            ng += 1
+        if ng == 0:
+            raise ValueError("parsed input is empty")
+
+        # per-level COO feature dicts {level: (rows, cols, vals, width)}
+        M = {}
+        if self._method_calling in (1, 2):
+            for key, d in data.items():
+                if len(d) == 0:
+                    continue
+                idxs, vals = zip(*d.items())
+                rows, cols = zip(*idxs)
+                M[key] = (np.asarray(rows, np.int32),
+                          np.asarray(cols, np.int32),
+                          np.asarray(vals, np.float32),
+                          len(all_keys[key]))
+            self._fit_keys = all_keys
+            self._ngx = ng
+        else:
+            for key, d in data.items():
+                if len(d) == 0:
+                    continue
+                idxs, vals = zip(*d.items())
+                rows, cols = zip(*idxs)
+                M[key] = (np.asarray(rows, np.int32),
+                          np.asarray(cols, np.int32),
+                          np.asarray(vals, np.float32),
+                          len(all_keys[key]) + len(self._fit_keys[key]))
+            self._ngy = ng
+        return M
+
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _pad(rows, cols, vals):
+        pad = bucket_size(max(len(rows), 1))
+        g = np.zeros(pad, np.int32)
+        k = np.zeros(pad, np.int32)
+        w = np.zeros(pad, np.float32)
+        v = np.zeros(pad, bool)
+        g[:len(rows)] = rows
+        k[:len(rows)] = cols
+        w[:len(rows)] = vals
+        v[:len(rows)] = True
+        return g, k, w, v
+
+    def fit_transform(self, X, y=None):
+        self._method_calling = 2
+        self.fit(X)
+        ngx = self._ngx
+        S = np.zeros((ngx, ngx))
+        N = {}
+        for key, (rows, cols, vals, width) in self.X.items():
+            g, k, w, v = self._pad(rows, cols, vals)
+            K = np.asarray(coo_counts_gram(
+                g, k, w, v, ngx, bucket_size(max(width, 1))), np.float64)
+            K_diag = K.diagonal().copy()
+            N[key] = K_diag
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Q = K / np.sqrt(np.outer(K_diag, K_diag))
+            np.fill_diagonal(Q, np.nan_to_num(np.diag(Q), nan=1.0))
+            S += np.nan_to_num(Q)
+        self._X_level_norm_factor = N
+        if self.normalize:
+            return S / len(self.X)
+        return S
+
+    def transform(self, X):
+        self._method_calling = 3
+        from sklearn.exceptions import NotFittedError
+        if not hasattr(self, "X") or self.X is None:
+            raise NotFittedError("call fit before transform")
+        Y = self.parse_input(X)
+        if not hasattr(self, "_X_level_norm_factor"):
+            self._X_level_norm_factor = {
+                key: self._level_sq_sum(m, self._ngx)
+                for key, m in self.X.items()}
+        Nf = self._X_level_norm_factor
+        S = np.zeros((self._ngy, self._ngx))
+        for key, (rows, cols, vals, width) in Y.items():
+            if key not in self.X:
+                continue
+            xr, xc, xv, xw = self.X[key]
+            # truncate transform features to the fit width
+            keep = cols < xw
+            g, k, w, v = self._pad(rows[keep], cols[keep], vals[keep])
+            gx, kx, wx, vx = self._pad(xr, xc, xv)
+            L = bucket_size(max(xw, 1))
+            K = np.asarray(coo_counts_gram_rect(
+                g, k, w, v, gx, kx, wx, vx, self._ngy, self._ngx, L),
+                np.float64)
+            ysq = self._level_sq_sum((rows, cols, vals, width), self._ngy)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S += np.nan_to_num(K / np.sqrt(np.outer(ysq, Nf[key])))
+        self._Y = Y
+        self._is_transformed = True
+        if self.normalize:
+            S /= np.sqrt(np.outer(*self.diagonal()[::-1]))
+        return S
+
+    @staticmethod
+    def _level_sq_sum(m, n):
+        rows, cols, vals, width = m
+        out = np.zeros(n)
+        np.add.at(out, rows, vals.astype(np.float64) ** 2)
+        return out
+
+    def diagonal(self):
+        from sklearn.exceptions import NotFittedError
+        if not hasattr(self, "X") or self.X is None:
+            raise NotFittedError("call fit before diagonal")
+        self._X_diag = len(self.X)
+        if getattr(self, "_is_transformed", False):
+            return self._X_diag, len(self._Y)
+        return self._X_diag

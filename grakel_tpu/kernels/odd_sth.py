@@ -1,0 +1,296 @@
+"""ODD-STh kernel (Da San Martino et al., ordered DAG decomposition).
+
+Reference semantics (grakel/kernels/odd_sth.py):
+
+* per graph, per vertex v: BFS DAG rooted at v keeping edges to nodes at
+  the same-or-deeper BFS level, depth-capped at ``h`` (:333-376);
+* inverse topological ordering (Kahn's algorithm, queue sorted by vertex
+  label each step) and edge lists sorted by (ordering, label) (:379-457);
+* bottom-up subtree canonical IDs ``label(child_id,child_id,...)`` with
+  per-node subtree size d and frequency (:460-511);
+* all per-vertex DAGs of a graph merge into one DAG keyed by ID, then all
+  graphs merge into a *bigDAG* with per-graph frequency vectors
+  (:514-608);
+* K = phi^T (C * phi) where phi[node, graph] = frequency and C[node] is
+  the node's frequency in the first graph that contributed it (the
+  reference stores the inserting frequency in position 0 of each bigDAG
+  entry, odd_sth.py:604, and reads it back as C at :160-166);
+  transform deep-copies the fit bigDAG and appends the new graphs
+  (:101-120).
+
+The decomposition is inherently sequential/host-bound; the TPU part is
+the Gram: features are scaled by sqrt(C) and streamed through the
+chunked counts-GEMM (K = (phi sqrtC)^T (phi sqrtC)).
+
+Note: the reference's ``diagonal()`` references a non-existent
+``_phi_X`` attribute and crashes on the fit-then-transform path; this
+implementation computes the documented quantity instead.
+"""
+
+from __future__ import annotations
+
+import copy
+import warnings
+from collections import defaultdict
+
+import numpy as np
+
+from .base import Kernel, normalize_input
+from ..batch import bucket_size
+from ..ops.gram import (coo_counts_gram, coo_counts_gram_rect, counts_diag,
+                        normalize_gram)
+
+__all__ = ["OddSth"]
+
+
+def _bfs_dag(root, nbrs, h):
+    """BFS DAG from ``root``: level dict + child lists (reference dag())."""
+    q = [(root, 0)]
+    level = {root: 0}
+    children = defaultdict(list)
+    while q:
+        u, lev = q.pop(0)
+        if lev == h:
+            break
+        for n in nbrs[u]:
+            if n not in level:
+                children[u].append(n)
+                q.append((n, lev + 1))
+                level[n] = lev + 1
+            elif level[n] >= lev + 1:
+                children[u].append(n)
+    return set(level.keys()), children
+
+
+def _inverse_topological(vertices, children, labels):
+    """Kahn's algorithm with the reference's label-sorted queue; returns
+    (ordering dict, children with lists sorted by (ordering, label))."""
+    indeg = {}
+    zero = set(vertices)
+    for u, cs in children.items():
+        for v in cs:
+            indeg[v] = indeg.get(v, 0) + 1
+            zero.discard(v)
+    q = list(zero)
+    ordering = {}
+    visited = len(vertices)
+    while q:
+        q.sort(key=lambda x: labels[x])
+        e = q.pop(0)
+        ordering[e] = visited
+        for k in children[e]:
+            if k in indeg:
+                if indeg[k] == 1:
+                    indeg.pop(k)
+                    q.append(k)
+                else:
+                    indeg[k] -= 1
+        visited -= 1
+    for u in children:
+        children[u].sort(key=lambda x: (ordering[x], labels[x]))
+    return ordering, children
+
+
+def _hash_tree(vertices, children, ordering, labels):
+    """Bottom-up subtree IDs; returns ({v: [d, freq, ID]}, {ID: [v...]},
+    v_ordered) (reference hash_trees())."""
+    v_ordered = sorted(vertices, key=lambda x: (ordering[x], labels[x]))
+    hash_map = {}
+    info = {}
+    for v in v_ordered:
+        cs = children.get(v, [])
+        if len(cs) == 0:
+            ID = str(labels[v])
+            info[v] = [0, 1, ID]
+        else:
+            d = 0
+            ids = []
+            for c in cs:
+                d += 1 + info[c][0]
+                ids.append(info[c][2])
+            ID = str(labels[v]) + "(" + ",".join(ids) + ")"
+            info[v] = [d, 1, ID]
+        hash_map.setdefault(ID, []).append(v)
+    return info, hash_map, v_ordered
+
+
+def _merge(dag, acc, merge_features=True):
+    """Merge one DAG into the accumulator keyed by subtree ID
+    (reference big_dag_append()); acc = (info, hash_map, edges, labels)."""
+    info, hash_map, v_ordered, children, labels = dag
+    nf = 1
+    if acc is None:
+        D_info, D_hash, D_edges, D_labels = {}, {}, {}, {}
+    else:
+        D_info, D_hash, D_edges, D_labels = acc
+        if not merge_features:
+            first = True
+            for v in D_info:
+                D_info[v][1].append(0)
+                if first:
+                    nf = len(D_info[v][1])
+                    first = False
+    idx = len(D_info)
+    for q in v_ordered:
+        key = info[q][2]
+        if key in D_hash:
+            node = D_hash[key][0]
+            if merge_features:
+                D_info[node][1] += info[q][1]
+            else:
+                D_info[node][1][-1] += info[q][1]
+        else:
+            D_labels[idx] = labels[q]
+            d_edges = []
+            seen = set()
+            for c in children.get(q, []):
+                ck = info[c][2]
+                if ck in D_hash:
+                    node = D_hash[ck][0]
+                    if node not in seen:
+                        d_edges.append(node)
+                        seen.add(node)
+            D_edges[idx] = d_edges
+            D_hash[key] = [idx]
+            freq = (info[q][1] if merge_features
+                    else (nf - 1) * [0] + [info[q][1]])
+            # position 0 mirrors the reference exactly (odd_sth.py:604):
+            # the inserting frequency, NOT the subtree size d from
+            # hash_trees — the reference's C weights are the frequency of
+            # the subtree in the first graph that contributed it
+            D_info[idx] = [info[q][1], freq, key]
+            idx += 1
+    return (D_info, D_hash, D_edges, D_labels)
+
+
+def _graph_big_dag(g, h):
+    """All per-vertex DAGs of one graph merged, reordered
+    (reference make_big_dag())."""
+    labs = g.get_labels(label_type="vertex", return_none=True)
+    if labs is None:
+        raise ValueError("OddSth requires node labels")
+    nbrs = [g.neighbors(v) for v in range(g.n)]
+    acc = None
+    for v in range(g.n):
+        vertices, children = _bfs_dag(v, nbrs, h)
+        ordering, children = _inverse_topological(vertices, children, labs)
+        info, hash_map, v_ordered = _hash_tree(vertices, children,
+                                               ordering, labs)
+        acc = _merge((info, hash_map, v_ordered, children, labs), acc)
+    D_info, D_hash, D_edges, D_labels = acc
+    ordering, D_edges = _inverse_topological(
+        set(D_info.keys()), D_edges, D_labels)
+    v_ordered = sorted(D_info.keys(),
+                       key=lambda x: (ordering[x], D_labels[x]))
+    return (D_info, D_hash, v_ordered, D_edges, D_labels)
+
+
+class OddSth(Kernel):
+    """ODD-STh kernel."""
+
+    def __init__(self, n_jobs=None, normalize=False, verbose=False, h=None):
+        super().__init__(n_jobs=n_jobs, normalize=normalize, verbose=verbose)
+        self.h = h
+
+    def initialize(self):
+        if self.h is not None and (not isinstance(self.h, int)
+                                   or self.h <= 0):
+            raise ValueError("h must be an integer bigger than zero")
+        self.h_ = -1 if self.h is None else self.h
+
+    def parse_input(self, X):
+        graphs = normalize_input(X)
+        out = copy.deepcopy(self.X) if self._method_calling == 3 else None
+        for g in graphs:
+            out = _merge(_graph_big_dag(g, self.h_), out,
+                         merge_features=False)
+        if self._method_calling in (1, 2):
+            self._nx = len(graphs)
+        else:
+            self._ny = len(graphs)
+        return out
+
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _stream(big_dag, col_range):
+        """COO (graph, node, freq*sqrt(C)) items for graph columns in
+        ``col_range``."""
+        D_info = big_dag[0]
+        gids, feats, wts = [], [], []
+        for i, v in enumerate(D_info.keys()):
+            C = D_info[v][0]
+            if C == 0:
+                continue
+            sc = np.sqrt(C)
+            freq = D_info[v][1]
+            for j in col_range:
+                f = freq[j] if j < len(freq) else 0
+                if f:
+                    gids.append(j - col_range.start)
+                    feats.append(i)
+                    wts.append(f * sc)
+        return (np.asarray(gids, np.int32), np.asarray(feats, np.int32),
+                np.asarray(wts, np.float32))
+
+    @staticmethod
+    def _pad(g, k, w):
+        pad = bucket_size(max(len(g), 1))
+        gg = np.zeros(pad, np.int32)
+        kk = np.zeros(pad, np.int32)
+        ww = np.zeros(pad, np.float32)
+        vv = np.zeros(pad, bool)
+        gg[:len(g)] = g
+        kk[:len(g)] = k
+        ww[:len(g)] = w
+        vv[:len(g)] = True
+        return gg, kk, ww, vv
+
+    def fit_transform(self, X, y=None):
+        self._method_calling = 2
+        self.fit(X)
+        big = self.X
+        D = len(big[0])
+        L = bucket_size(max(D, 1))
+        g, k, w = self._stream(big, range(self._nx))
+        gg, kk, ww, vv = self._pad(g, k, w)
+        km = np.asarray(coo_counts_gram(gg, kk, ww, vv, self._nx, L),
+                        np.float64)
+        self._X_diag = np.diagonal(km).copy()
+        if self.normalize:
+            return np.nan_to_num(normalize_gram(km, self._X_diag,
+                                                self._X_diag))
+        return km
+
+    def transform(self, X):
+        self._method_calling = 3
+        from sklearn.exceptions import NotFittedError
+        if not hasattr(self, "X") or self.X is None:
+            raise NotFittedError("call fit before transform")
+        full = self.parse_input(X)
+        D = len(full[0])
+        L = bucket_size(max(D, 1))
+        gx, kx, wx = self._stream(full, range(self._nx))
+        gy, ky, wy = self._stream(full, range(self._nx,
+                                              self._nx + self._ny))
+        ga, ka, wa, va = self._pad(gy, ky, wy)
+        gb, kb, wb, vb = self._pad(gx, kx, wx)
+        km = np.asarray(coo_counts_gram_rect(
+            ga, ka, wa, va, gb, kb, wb, vb, self._ny, self._nx, L),
+            np.float64)
+        # diagonals from the joint bigDAG feature space
+        self._X_diag = np.asarray(
+            counts_diag(gb, kb, wb, vb, self._nx, L), np.float64)
+        self._Y_diag_cache = np.asarray(
+            counts_diag(ga, ka, wa, va, self._ny, L), np.float64)
+        self._is_transformed = True
+        if self.normalize:
+            km = normalize_gram(km, self._Y_diag_cache, self._X_diag)
+        return km
+
+    def diagonal(self):
+        from sklearn.exceptions import NotFittedError
+        if not hasattr(self, "_X_diag"):
+            raise NotFittedError("call fit_transform or transform first")
+        if getattr(self, "_is_transformed", False):
+            return self._X_diag, self._Y_diag_cache
+        return self._X_diag

@@ -218,6 +218,59 @@ class TestPyramidMatch:
         assert np.median(rel) < 1e-3
 
 
+class TestWLOptimalAssignment:
+    def test_gram(self, mutag_split):
+        fit, tr = mutag_split
+        check_pair("WeisfeilerLehmanOptimalAssignment", fit, tr, n_iter=3)
+
+    def test_normalized(self, mutag_split):
+        fit, tr = mutag_split
+        check_pair("WeisfeilerLehmanOptimalAssignment", fit, tr, n_iter=5,
+                   normalize=True)
+
+    def test_unseen_labels(self, mutag):
+        fit = mutag[:30]
+        tr = []
+        for edges, nl, el in mutag[30:36]:
+            nl2 = dict(nl)
+            nl2[next(iter(nl2))] = 999
+            tr.append([edges, nl2, el])
+        check_pair("WeisfeilerLehmanOptimalAssignment", fit, tr, n_iter=2)
+
+
+class TestOddSth:
+    def test_gram(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("OddSth", fit, tr)
+
+    def test_depth_capped(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("OddSth", fit, tr, h=2)
+
+    def test_normalized(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("OddSth", fit, tr, normalize=True)
+
+
+class TestHadamardCode:
+    def test_gram(self, mutag_split):
+        fit, tr = mutag_split
+        check_pair("HadamardCode", fit, tr, n_iter=3)
+
+    def test_normalized(self, mutag_split):
+        fit, tr = mutag_split
+        check_pair("HadamardCode", fit, tr, n_iter=5, normalize=True)
+
+    def test_unseen_labels(self, mutag):
+        fit = mutag[:30]
+        tr = []
+        for edges, nl, el in mutag[30:36]:
+            nl2 = dict(nl)
+            nl2[next(iter(nl2))] = 999
+            tr.append([edges, nl2, el])
+        check_pair("HadamardCode", fit, tr, n_iter=2)
+
+
 class TestWeisfeilerLehman:
     def test_gram(self, mutag_split):
         fit, tr = mutag_split
@@ -226,3 +279,39 @@ class TestWeisfeilerLehman:
     def test_normalized(self, mutag_split):
         fit, tr = mutag_split
         check_pair("WeisfeilerLehman", fit, tr, n_iter=3, normalize=True)
+
+
+class TestNSPD:
+    def test_gram(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("NeighborhoodSubgraphPairwiseDistance", fit, tr,
+                   r=2, d=3)
+
+    def test_defaults(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("NeighborhoodSubgraphPairwiseDistance", fit, tr)
+
+    def test_normalized(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("NeighborhoodSubgraphPairwiseDistance", fit, tr,
+                   normalize=True)
+
+
+class TestCoreFramework:
+    def test_default_sp_base(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("CoreFramework", fit, tr)
+
+    def test_wl_base(self, mutag_small):
+        fit, tr = mutag_small
+        import grakel.kernels as rk
+        import grakel_tpu.kernels as ok
+        check_pair("CoreFramework", fit, tr,
+                   ref_params={"base_graph_kernel": (
+                       rk.WeisfeilerLehman, {"n_iter": 3})},
+                   our_params={"base_graph_kernel": (
+                       ok.WeisfeilerLehman, {"n_iter": 3})})
+
+    def test_normalized(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("CoreFramework", fit, tr, normalize=True)
