@@ -3,6 +3,7 @@
 from .base import Kernel
 from .core_framework import CoreFramework
 from .histogram import VertexHistogram, EdgeHistogram
+from .graph_hopper import GraphHopper
 from .hadamard_code import HadamardCode
 from .neighborhood_hash import NeighborhoodHash
 from .nspd import NeighborhoodSubgraphPairwiseDistance
@@ -11,6 +12,7 @@ from .propagation import Propagation, PropagationAttr
 from .pyramid_match import PyramidMatch
 from .random_walk import RandomWalk, RandomWalkLabeled
 from .shortest_path import ShortestPath, ShortestPathAttr
+from .svm_theta import SvmTheta
 from .weisfeiler_lehman import WeisfeilerLehman
 from .wl_optimal_assignment import WeisfeilerLehmanOptimalAssignment
 
@@ -19,6 +21,7 @@ __all__ = [
     "CoreFramework",
     "VertexHistogram",
     "EdgeHistogram",
+    "GraphHopper",
     "HadamardCode",
     "NeighborhoodHash",
     "NeighborhoodSubgraphPairwiseDistance",
@@ -30,6 +33,7 @@ __all__ = [
     "RandomWalkLabeled",
     "ShortestPath",
     "ShortestPathAttr",
+    "SvmTheta",
     "WeisfeilerLehman",
     "WeisfeilerLehmanOptimalAssignment",
 ]

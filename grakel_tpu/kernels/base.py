@@ -137,7 +137,10 @@ class Kernel(BaseEstimator, TransformerMixin):
         if self.normalize and not self._inherently_normalized:
             d = np.diagonal(K).copy()
             self._X_diag = d
-            K = normalize_gram(K, d, d)
+            # plain division — zero self-kernels yield NaN like the
+            # reference (kernel.py:200-204 has no nan guard)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                K = np.asarray(K, np.float64) / np.sqrt(np.outer(d, d))
         return np.asarray(K)
 
     def transform(self, X):
@@ -152,7 +155,9 @@ class Kernel(BaseEstimator, TransformerMixin):
         self._is_transformed = True
         if self.normalize and not self._inherently_normalized:
             Xd, Yd = self.diagonal()
-            K = normalize_gram(K, Yd, Xd)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                K = np.asarray(K, np.float64) / np.sqrt(
+                    np.outer(Yd, Xd))
         return np.asarray(K)
 
     def diagonal(self):

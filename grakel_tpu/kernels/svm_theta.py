@@ -1,0 +1,117 @@
+"""SVM-theta kernel (Johansson et al. 2014).
+
+Reference semantics (grakel/kernels/svm_theta.py):
+
+* per graph: K = binarized adjacency (> 1e-10), zero diagonal; if the
+  smallest eigenvalue is < -1e-6, scale by -1/min_eig and add identity
+  (:222-229); OneClassSVM(precomputed) dual coefficients scattered to a
+  per-vertex alpha vector (:230-235);
+* phi = per-subset-size mean over sampled vertex subsets of
+  sum(alpha[subset]); sample counts per size from ``distribute_samples``
+  (binomially weighted; :180-206); subsets drawn with ``random_state``;
+* pairwise = metric(phi_x, phi_y); the reference default
+  ``np.inner(x, y)[0, 0]`` over COLUMN vectors evaluates to
+  ``phi_x[0] * phi_y[0]`` — only the smallest subset size contributes
+  (:23-24) — reproduced here as a rank-1 feature GEMM.
+
+Per-graph work (small dense eig + libsvm one-class solve) stays on host;
+the Gram is one device GEMM over the [n_graphs, n_levels] feature
+matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from sklearn.svm import OneClassSVM
+from sklearn.utils import check_random_state
+
+from .base import Kernel, normalize_input
+from ..tools import distribute_samples
+
+__all__ = ["SvmTheta"]
+
+positive_eigenvalue_limit = 1e-6
+min_weight = 1e-10
+
+
+def _inner(x, y):
+    return np.inner(x, y)[0, 0]
+
+
+def _svm_alphas(A):
+    """Per-vertex OneClassSVM dual coefficients (reference :208-235)."""
+    K = (A > min_weight).astype(float)
+    np.fill_diagonal(K, 0.0)
+    min_eigv = np.linalg.eigvalsh(K)[0]
+    if min_eigv < 0 and abs(min_eigv) > positive_eigenvalue_limit:
+        K /= -min_eigv
+        K[np.diag_indices_from(K)] += 1.0
+    svm = OneClassSVM(kernel="precomputed")
+    svm.fit(K)
+    alphas = np.zeros(A.shape[0])
+    np.put(alphas, svm.support_, svm._dual_coef_[0])
+    return alphas
+
+
+class SvmTheta(Kernel):
+    """SVM-theta kernel."""
+
+    def __init__(self, n_jobs=None, normalize=False, verbose=False,
+                 random_state=None, n_samples=50, subsets_size_range=(2, 8),
+                 metric=_inner):
+        super().__init__(n_jobs=n_jobs, normalize=normalize, verbose=verbose)
+        self.random_state = random_state
+        self.n_samples = n_samples
+        self.subsets_size_range = subsets_size_range
+        self.metric = metric
+
+    def initialize(self):
+        if not isinstance(self.n_samples, int) or self.n_samples <= 0:
+            raise TypeError("n_samples must be a positive integer")
+        if (not isinstance(self.subsets_size_range, tuple)
+                or len(self.subsets_size_range) != 2
+                or self.subsets_size_range[0] > self.subsets_size_range[1]
+                or self.subsets_size_range[0] <= 0):
+            raise TypeError("subsets_size_range must be an increasing "
+                            "positive int pair")
+        if not callable(self.metric):
+            raise TypeError("metric must be callable")
+        self.random_state_ = check_random_state(self.random_state)
+
+    def parse_input(self, X):
+        graphs = normalize_input(X)
+        out = []
+        for g in graphs:
+            A = g.get_adjacency_matrix()
+            alphas = _svm_alphas(A)
+            out.append(self._levels(A, alphas))
+        return out
+
+    def _levels(self, A, alphas):
+        n = A.shape[0]
+        samples = distribute_samples(n, self.subsets_size_range,
+                                     self.n_samples)
+        lo, hi = self.subsets_size_range
+        phi = np.zeros((hi - lo + 1, 1))
+        for i, level in enumerate(range(lo, hi + 1)):
+            v = samples.get(level)
+            if v is not None:
+                vals = []
+                for _ in range(v):
+                    if level <= n:
+                        idx = self.random_state_.choice(n, level,
+                                                        replace=False)
+                    else:
+                        idx = range(n)
+                    vals.append(np.sum(alphas[idx]))
+                phi[i] = np.mean(vals)
+        return phi
+
+    def _feature_matrix(self, parsed):
+        if self.metric is not _inner:
+            return None
+        # the default metric reads only phi[0] (see module docstring)
+        return np.asarray([[p[0, 0]] for p in parsed])
+
+    def pairwise_operation(self, x, y):
+        return self.metric(x, y)

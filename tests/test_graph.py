@@ -104,11 +104,12 @@ def test_neighborhoods():
     # path 0-1-2-3
     edges = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2)]
     g = Graph(edges)
-    N, D = g.produce_neighborhoods(r=2, with_distances=True, d=2)
-    assert N[0][0] == {0}
-    assert N[1][0] == {0, 1}
-    assert N[2][0] == {0, 1, 2}
+    N, D, D_pair = g.produce_neighborhoods(r=2, with_distances=True, d=2)
+    assert set(N[0][0]) == {0}
+    assert set(N[1][0]) == {0, 1}
+    assert set(N[2][0]) == {0, 1, 2}
     assert (0, 2) in D[2] and (1, 3) in D[2]
+    assert D_pair[(0, 1)] == 1 and D_pair[(0, 2)] == 2
 
 
 def test_format_checkers():

@@ -315,3 +315,40 @@ class TestCoreFramework:
     def test_normalized(self, mutag_small):
         fit, tr = mutag_small
         check_pair("CoreFramework", fit, tr, normalize=True)
+
+
+class TestSvmTheta:
+    def test_gram(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("SvmTheta", fit, tr, random_state=17, rtol=1e-4,
+                   atol=1e-6)
+
+    def test_normalized(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("SvmTheta", fit, tr, random_state=17, normalize=True,
+                   rtol=1e-4, atol=1e-6)
+
+
+class TestGraphHopper:
+    def test_linear(self, cuneiform_attr):
+        fit, tr = cuneiform_attr
+        check_pair("GraphHopper", fit, tr, rtol=1e-5, atol=1e-5)
+
+    def test_gaussian(self, cuneiform_attr):
+        fit, tr = cuneiform_attr
+        check_pair("GraphHopper", fit, tr, kernel_type=("gaussian", 0.5),
+                   rtol=1e-5, atol=1e-5)
+
+    def test_bridge(self, cuneiform_attr):
+        fit, tr = cuneiform_attr
+        check_pair("GraphHopper", fit, tr, kernel_type="bridge",
+                   rtol=1e-5, atol=1e-5)
+
+
+class TestShortestPathAttr:
+    def test_gram(self, cuneiform_attr):
+        fit, tr = cuneiform_attr
+        # O(n^4)-equivalent reformulation; use a small slice
+        check_pair("ShortestPathAttr", fit[:12], tr[:5],
+                   rtol=1e-5, atol=1e-5,
+                   ref_params={"algorithm_type": "floyd_warshall"})

@@ -288,6 +288,23 @@ def _install_scipy_compat():
 
     sp.csr_matrix = csr_matrix
 
+    # scipy >= 1.12 removed eigvalsh(..., eigvals=) which the reference
+    # uses (svm_theta.py:224, lovasz_theta.py:366); translate to
+    # subset_by_index.  Patch the module attr before grakel's
+    # `from scipy.linalg import eigvalsh`.
+    import scipy.linalg as sl
+
+    if not getattr(sl.eigvalsh, "_grakel_tpu_shim", False):
+        _orig_eigvalsh = sl.eigvalsh
+
+        def eigvalsh(a, *args, eigvals=None, **kw):
+            if eigvals is not None:
+                kw["subset_by_index"] = eigvals
+            return _orig_eigvalsh(a, *args, **kw)
+
+        eigvalsh._grakel_tpu_shim = True
+        sl.eigvalsh = eigvalsh
+
 
 def import_reference_grakel():
     """Install stand-ins and return the imported reference ``grakel``."""
