@@ -4,8 +4,10 @@ from .base import Kernel
 from .core_framework import CoreFramework
 from .histogram import VertexHistogram, EdgeHistogram
 from .graph_hopper import GraphHopper
+from .graphlet_sampling import GraphletSampling
 from .hadamard_code import HadamardCode
 from .neighborhood_hash import NeighborhoodHash
+from .multiscale_laplacian import MultiscaleLaplacian
 from .nspd import NeighborhoodSubgraphPairwiseDistance
 from .odd_sth import OddSth
 from .propagation import Propagation, PropagationAttr
@@ -22,8 +24,10 @@ __all__ = [
     "VertexHistogram",
     "EdgeHistogram",
     "GraphHopper",
+    "GraphletSampling",
     "HadamardCode",
     "NeighborhoodHash",
+    "MultiscaleLaplacian",
     "NeighborhoodSubgraphPairwiseDistance",
     "OddSth",
     "Propagation",

@@ -1,0 +1,288 @@
+"""Graphlet sampling kernel (Shervashidze et al. 2009).
+
+Reference semantics (grakel/kernels/graphlet_sampling.py):
+
+* ``sampling=None``: exhaustive enumeration of all connected k-subsets
+  (ConSubg, functions.pyx:177-281); ``sampling={"n_samples": n}``:
+  n uniform random vertex subsets of sizes 3..k; ``sampling={"delta",
+  "epsilon", "a"}``: sample count from the sample-complexity bound with
+  the isomorphism-count table {3:4,...,9:13599} (+ cubic interpolation
+  past 9) (:155-232);
+* each sampled graphlet is binned into an isomorphism class; the
+  reference linearly scans bliss ``isomorphic()`` calls (:419-467) —
+  here isomorphism classes are CANONICAL CODES (min-over-permutations,
+  batched on device, ops/canonical.py) so binning is a dict lookup; the
+  reference's exact count bookkeeping (the bin-creating sample counts 1,
+  every matching sample adds 1 on top of an initial 1) is reproduced
+  faithfully;
+* phi = bin-count matrix; K = phi phi^T (GEMM); transform-time new bins
+  extend the fit bins (:269-284).
+
+Graphlets of size > 8 fall back to networkx VF2 binning on host.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+
+import numpy as np
+from scipy.interpolate import interp1d
+from sklearn.utils import check_random_state
+
+from .base import Kernel, normalize_input
+from ..ops.canonical import canonical_codes, MAX_DEVICE_SIZE
+from ..ops.consubg import connected_subsets
+from ..ops.gram import gram_gemm, gram_rect
+
+__all__ = ["GraphletSampling"]
+
+
+class _HostBin:
+    """VF2-equality wrapper for graphlets beyond the device size cap."""
+
+    def __init__(self, A):
+        import networkx as nx
+        self.g = nx.Graph()
+        self.g.add_nodes_from(range(A.shape[0]))
+        self.g.add_edges_from(zip(*np.where(A > 0)))
+
+    def __eq__(self, other):
+        import networkx as nx
+        return nx.is_isomorphic(self.g, other.g)
+
+    def __hash__(self):
+        # degree-multiset invariant; equality falls back to VF2
+        return hash(tuple(sorted(d for _, d in self.g.degree())))
+
+
+class GraphletSampling(Kernel):
+    """Graphlet sampling kernel."""
+
+    def __init__(self, n_jobs=None, normalize=False, verbose=False,
+                 random_state=None, k=5, sampling=None):
+        super().__init__(n_jobs=n_jobs, normalize=normalize, verbose=verbose)
+        self.random_state = random_state
+        self.k = k
+        self.sampling = sampling
+
+    def initialize(self):
+        self.random_state_ = check_random_state(self.random_state)
+        if not isinstance(self.k, int):
+            raise TypeError("k must be an int")
+        if self.k > 10:
+            warnings.warn("graphlets are too big - computation may be slow")
+        elif self.k < 3:
+            raise TypeError("k must be bigger than 3")
+        sampling = self.sampling
+        if sampling is None:
+            self.n_samples_ = None
+        elif isinstance(sampling, dict):
+            if "n_samples" in sampling:
+                self.n_samples_ = sampling["n_samples"]
+                ignored = [a for a in ("delta", "epsilon", "a")
+                           if a in sampling]
+                if ignored:
+                    warnings.warn("Number of samples defined as input, "
+                                  "ignoring arguments: " + ", ".join(ignored))
+            elif any(a in sampling for a in ("delta", "epsilon", "a")):
+                delta = sampling.get("delta", 0.05)
+                epsilon = sampling.get("epsilon", 0.05)
+                a = sampling.get("a", -1)
+                if not 0 <= delta <= 1:
+                    raise TypeError("delta must be in the range (0,1)")
+                if not 0 <= epsilon <= 1:
+                    raise TypeError("epsilon must be in the range (0,1)")
+                if not isinstance(a, int):
+                    raise TypeError("a must be an integer")
+                elif a == 0:
+                    raise TypeError("a cannot be zero")
+                elif a < -1:
+                    raise TypeError("negative a smaller than -1 have "
+                                    "no meaning")
+                if a == -1:
+                    fallback = {1: 1, 2: 2, 3: 4, 4: 8, 5: 19, 6: 53,
+                                7: 209, 8: 1253, 9: 13599}
+                    if self.k > 9:
+                        warnings.warn(
+                            "for such size the number of isomorphisms is "
+                            "not known - interpolation on known values "
+                            "will be used")
+                        a = interp1d(list(fallback.keys()),
+                                     list(fallback.values()),
+                                     kind="cubic")(self.k)
+                    else:
+                        a = fallback[self.k]
+                self.n_samples_ = math.ceil(
+                    2 * (a * np.log10(2) + np.log10(1 / delta))
+                    / (epsilon ** 2))
+            else:
+                raise ValueError(
+                    "sampling doesn't have a valid dictionary format")
+        else:
+            raise TypeError("sampling can either be a dictionary or None")
+
+    # ------------------------------------------------------------------ #
+    def _sample(self, A):
+        """Yield sampled graphlet adjacency arrays in draw order."""
+        if self.n_samples_ is None:
+            G = {i: set(np.where(A[i, :] != 0)[0])
+                 for i in range(A.shape[0])}
+            for s in connected_subsets(G, self.k):
+                idx = list(s)
+                yield A[idx, :][:, idx]
+        else:
+            s = list(range(A.shape[0]))
+            rs = self.random_state_
+            min_r = min(3, A.shape[0])
+            max_r = min(self.k, A.shape[0])
+            for _ in range(self.n_samples_):
+                r = min_r if min_r == max_r else rs.randint(min_r, max_r + 1)
+                idx = rs.choice(s, r, replace=False)
+                yield A[idx, :][:, idx]
+
+    def _keys_for(self, samples):
+        """Canonical bin keys per sample, preserving sample order.
+
+        Device codes for sizes <= MAX_DEVICE_SIZE (batched per size),
+        host VF2 wrappers beyond.
+        """
+        by_size = {}
+        order = []
+        for j, Q in enumerate(samples):
+            by_size.setdefault(Q.shape[0], []).append((j, Q))
+            order.append(None)
+        for s, items in by_size.items():
+            if s <= MAX_DEVICE_SIZE:
+                codes = canonical_codes([Q for _, Q in items])
+                for (j, _), c in zip(items, codes):
+                    order[j] = (s, int(c))
+            else:
+                for j, Q in items:
+                    order[j] = _HostBin(Q)
+        return order
+
+    def parse_input(self, X):
+        graphs = normalize_input(X)
+        if self._method_calling == 1:
+            self._graph_bins = {}       # bin index -> key
+            self._bin_of = {}           # key -> bin index
+        elif self._method_calling == 3:
+            self._Y_graph_bins = {}
+            self._Y_bin_of = {}
+        local_values = {}
+        for i, g in enumerate(graphs):
+            A = (g.get_adjacency_matrix() > 0).astype(int)
+            keys = self._keys_for(list(self._sample(A)))
+            if self._method_calling == 1:
+                for key in keys:
+                    kbin = self._lookup_fit(key)
+                    if kbin is None:
+                        kbin = len(self._graph_bins)
+                        self._graph_bins[kbin] = key
+                        self._bin_of[key] = kbin
+                        local_values[(i, kbin)] = 1
+                    else:
+                        # reference count bookkeeping (:426-433): ensure
+                        # 1 then increment
+                        if (i, kbin) not in local_values:
+                            local_values[(i, kbin)] = 1
+                        local_values[(i, kbin)] += 1
+            else:
+                for key in keys:
+                    kbin = self._lookup_fit(key)
+                    if kbin is not None:
+                        if (i, kbin) not in local_values:
+                            local_values[(i, kbin)] = 1
+                        local_values[(i, kbin)] += 1
+                        continue
+                    start = len(self._graph_bins)
+                    ybin = self._lookup_y(key)
+                    if ybin is None:
+                        ybin = len(self._Y_graph_bins)
+                        self._Y_graph_bins[ybin] = key
+                        self._Y_bin_of[key] = ybin
+                        local_values[(i, start + ybin)] = 1
+                    else:
+                        bk = (i, start + ybin)
+                        if bk not in local_values:
+                            local_values[bk] = 1
+                        local_values[bk] += 1
+        if self._method_calling == 1:
+            self._nx = len(graphs)
+        else:
+            self._ny = len(graphs)
+        return local_values
+
+    def _lookup_fit(self, key):
+        if isinstance(key, tuple):
+            return self._bin_of.get(key)
+        for k, v in self._graph_bins.items():
+            if isinstance(v, _HostBin) and v == key:
+                return k
+        return None
+
+    def _lookup_y(self, key):
+        if isinstance(key, tuple):
+            return self._Y_bin_of.get(key)
+        for k, v in self._Y_graph_bins.items():
+            if isinstance(v, _HostBin) and v == key:
+                return k
+        return None
+
+    # ------------------------------------------------------------------ #
+    def fit_transform(self, X, y=None):
+        self._method_calling = 2
+        self.fit(X)
+        phi_x = np.zeros((self._nx, len(self._graph_bins)))
+        for (i, j), v in self.X.items():
+            phi_x[i, j] = v
+        self._phi_X = phi_x
+        km = gram_gemm(phi_x)
+        self._X_diag = np.diagonal(km)
+        if self.normalize:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return np.divide(km, np.sqrt(np.outer(self._X_diag,
+                                                      self._X_diag)))
+        return km
+
+    def transform(self, X):
+        self._method_calling = 3
+        from sklearn.exceptions import NotFittedError
+        if not hasattr(self, "X") or self.X is None:
+            raise NotFittedError("call fit before transform")
+        Y = self.parse_input(X)
+        if not hasattr(self, "_phi_X"):
+            phi_x = np.zeros((self._nx, len(self._graph_bins)))
+            for (i, j), v in self.X.items():
+                phi_x[i, j] = v
+            self._phi_X = phi_x
+        nb = len(self._graph_bins)
+        phi_y = np.zeros((self._ny, nb + len(self._Y_graph_bins)))
+        for (i, j), v in Y.items():
+            phi_y[i, j] = v
+        self._phi_Y = phi_y
+        km = gram_rect(phi_y[:, :nb], self._phi_X)
+        self._is_transformed = True
+        if self.normalize:
+            X_diag, Y_diag = self.diagonal()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                km = km / np.sqrt(np.outer(Y_diag, X_diag))
+        return km
+
+    def diagonal(self):
+        from sklearn.exceptions import NotFittedError
+        if not hasattr(self, "X") or self.X is None:
+            raise NotFittedError("call fit before diagonal")
+        if getattr(self, "_X_diag", None) is None:
+            phi_x = getattr(self, "_phi_X", None)
+            if phi_x is None:
+                phi_x = np.zeros((self._nx, len(self._graph_bins)))
+                for (i, j), v in self.X.items():
+                    phi_x[i, j] = v
+                self._phi_X = phi_x
+            self._X_diag = np.einsum("ij,ij->i", phi_x, phi_x)
+        if getattr(self, "_is_transformed", False):
+            Y_diag = np.einsum("ij,ij->i", self._phi_Y, self._phi_Y)
+            return self._X_diag, Y_diag
+        return self._X_diag

@@ -352,3 +352,31 @@ class TestShortestPathAttr:
         check_pair("ShortestPathAttr", fit[:12], tr[:5],
                    rtol=1e-5, atol=1e-5,
                    ref_params={"algorithm_type": "floyd_warshall"})
+
+
+class TestMultiscaleLaplacian:
+    def test_gram(self, cuneiform_attr):
+        fit, tr = cuneiform_attr
+        check_pair("MultiscaleLaplacian", fit, tr, random_state=23,
+                   rtol=1e-4, atol=1e-6)
+
+    def test_small_params(self, cuneiform_attr):
+        fit, tr = cuneiform_attr
+        check_pair("MultiscaleLaplacian", fit, tr, random_state=5, L=2,
+                   P=5, n_samples=20, rtol=1e-4, atol=1e-6)
+
+
+class TestGraphletSampling:
+    def test_probabilistic(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("GraphletSampling", fit, tr, random_state=31,
+                   sampling={"n_samples": 150})
+
+    def test_probabilistic_k4(self, mutag_small):
+        fit, tr = mutag_small
+        check_pair("GraphletSampling", fit, tr, random_state=7, k=4,
+                   sampling={"n_samples": 100}, normalize=True)
+
+    def test_exhaustive(self, mutag):
+        fit, tr = mutag[:12], mutag[12:17]
+        check_pair("GraphletSampling", fit, tr, k=4)
