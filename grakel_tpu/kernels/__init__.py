@@ -7,6 +7,7 @@ from .graph_hopper import GraphHopper
 from .graphlet_sampling import GraphletSampling
 from .hadamard_code import HadamardCode
 from .neighborhood_hash import NeighborhoodHash
+from .lovasz_theta import LovaszTheta
 from .multiscale_laplacian import MultiscaleLaplacian
 from .nspd import NeighborhoodSubgraphPairwiseDistance
 from .odd_sth import OddSth
@@ -14,6 +15,7 @@ from .propagation import Propagation, PropagationAttr
 from .pyramid_match import PyramidMatch
 from .random_walk import RandomWalk, RandomWalkLabeled
 from .shortest_path import ShortestPath, ShortestPathAttr
+from .subgraph_matching import SubgraphMatching
 from .svm_theta import SvmTheta
 from .weisfeiler_lehman import WeisfeilerLehman
 from .wl_optimal_assignment import WeisfeilerLehmanOptimalAssignment
@@ -27,6 +29,7 @@ __all__ = [
     "GraphletSampling",
     "HadamardCode",
     "NeighborhoodHash",
+    "LovaszTheta",
     "MultiscaleLaplacian",
     "NeighborhoodSubgraphPairwiseDistance",
     "OddSth",
@@ -37,6 +40,7 @@ __all__ = [
     "RandomWalkLabeled",
     "ShortestPath",
     "ShortestPathAttr",
+    "SubgraphMatching",
     "SvmTheta",
     "WeisfeilerLehman",
     "WeisfeilerLehmanOptimalAssignment",

@@ -380,3 +380,27 @@ class TestGraphletSampling:
     def test_exhaustive(self, mutag):
         fit, tr = mutag[:12], mutag[12:17]
         check_pair("GraphletSampling", fit, tr, k=4)
+
+
+@pytest.fixture(scope="module")
+def mutag_tiny(mutag):
+    # smallest graphs (the shim's brute-force reference is O(nV^k))
+    sized = sorted(range(len(mutag)), key=lambda i: len(mutag[i][1]))
+    idx = sized[:8]
+    return [mutag[i] for i in idx[:6]], [mutag[i] for i in idx[6:8]]
+
+
+class TestSubgraphMatching:
+    def test_gram_k3(self, mutag_tiny):
+        fit, tr = mutag_tiny
+        check_pair("SubgraphMatching", fit, tr, k=3, rtol=1e-6, atol=1e-8)
+
+    def test_lambda_weights(self, mutag_tiny):
+        fit, _ = mutag_tiny
+        check_pair("SubgraphMatching", fit[:4], None, k=3, lw="decreasing",
+                   rtol=1e-6, atol=1e-8)
+
+    def test_k2_edges_none(self, mutag_tiny):
+        fit, _ = mutag_tiny
+        check_pair("SubgraphMatching", fit[:4], None, k=2, ke=None,
+                   rtol=1e-6, atol=1e-8)

@@ -106,80 +106,88 @@ def _consubg(G, k, symmetric):
     return out
 
 
-def _sm_kernel(x, y, kv, ke, lw, k):
-    """Weighted clique sum over the (x, y) product graph.
+def _sm_kernel(x, y, kv, ke, k):
+    """Per-size weighted clique sums over the (x, y) weighted product
+    graph — the contract of the reference's Cython ``sm_kernel``
+    (functions.pyx:28-162 + sm_core.cpp): returns ``tv`` of length k+1
+    where tv[s] sums, over every clique of s+1 product-graph vertices
+    that is pairwise nonzero-adjacent AND connected through POSITIVE
+    (c-)edges, the product of vertex costs times |edge weights|.
 
-    Reference semantics (functions.pyx:28-162, sm_core.cpp:18-113):
-    product-graph vertices are label-compatible pairs (i, j) with vertex
-    cost kv(xi, yj); edges between (i, j), (i2, j2) (i != i2, j != j2) have
-    cost ke(e_x(i,i2), e_y(j,j2)) when BOTH or NEITHER edge exists
-    (d-edge = both absent contributes cost 1 via ke of no-edge? no:) —
-    precisely: c-edge when both graphs have the edge, cost = ke product;
-    d-edge when neither has it, cost 1 (weight -1 marker in the Cython; the
-    C++ treats its weight as edge cost too).  We reproduce the arithmetic
-    from the sources: value(clique) = prod of vertex costs * prod of edge
-    costs; tv[s] accumulates values of cliques of size s; result =
-    sum_s lw(s) * tv[s] for s in 1..k.
+    Product graph (functions.pyx semantics): vertices = pairs (i, j)
+    with kv != 0; edge weight = ke value when both graphs have the edge
+    (c-edge), -1 when neither has it (d-edge), 0 otherwise.
 
-    x, y: tuples (n, vertices?, edges dict, vertex labels, edge labels)
-    following subgraph_matching.parse_input output.
+    Implemented independently of grakel_tpu as a brute-force subset
+    enumeration (positive-subgraph connectivity checked per subset), so
+    parity tests compare two unrelated implementations.
     """
+    import itertools
+
+    import numpy as np
+
     nx_, Ex, Lx, LEx = x
     ny_, Ey, Ly, LEy = y
-    # product graph vertices
-    V = []
-    vcost = []
-    for i in range(nx_):
-        for j in range(ny_):
-            c = kv(Lx[i], Ly[j])
-            if c > 0:
-                V.append((i, j))
-                vcost.append(c)
-    nV = len(V)
-    # adjacency with edge costs; 0 = not adjacent
-    ecost = {}
 
-    def adj(a, b):
+    if kv is None:
+        V = [(i, j) for i in range(nx_) for j in range(ny_)]
+        vcost = [1.0] * len(V)
+    else:
+        V, vcost = [], []
+        for i in range(nx_):
+            for j in range(ny_):
+                c = kv(Lx[i], Ly[j])
+                if c != 0.0:
+                    V.append((i, j))
+                    vcost.append(c)
+    nV = len(V)
+
+    def weight(a, b):
         (i1, j1), (i2, j2) = V[a], V[b]
         if i1 == i2 or j1 == j2:
             return 0.0
         ex = (i1, i2) in Ex
         ey = (j1, j2) in Ey
         if ex and ey:
-            return ke(LEx[(i1, i2)], LEy[(j1, j2)])
+            return 1.0 if ke is None else ke(LEx[(i1, i2)], LEy[(j1, j2)])
         if not ex and not ey:
-            return 1.0
+            return -1.0
         return 0.0
 
+    W = np.zeros((nV, nV))
     for a in range(nV):
         for b in range(a + 1, nV):
-            c = adj(a, b)
-            if c > 0:
-                ecost[(a, b)] = c
-                ecost[(b, a)] = c
+            W[a, b] = W[b, a] = weight(a, b)
 
-    tv = [0.0] * (k + 1)
-
-    def rec(clique, start, value):
-        s = len(clique)
-        if s > 0:
-            tv[s] += value
-        if s == k:
-            return
-        for v in range(start, nV):
-            ok = True
-            val = value if s else 1.0
-            for u in clique:
-                c = ecost.get((u, v), 0.0)
-                if c == 0.0:
-                    ok = False
-                    break
-                val *= c
-            if ok:
-                rec(clique + [v], v + 1, val * vcost[v])
-
-    rec([], 0, 1.0)
-    return sum(lw(s) * tv[s] for s in range(1, k + 1))
+    tv = np.zeros(k + 1)
+    for s in range(1, k + 1):
+        for subset in itertools.combinations(range(nV), s):
+            sub = np.array(subset)
+            Wd = W[np.ix_(sub, sub)]
+            if s > 1 and np.any((Wd == 0.0)
+                                & ~np.eye(s, dtype=bool)):
+                continue
+            # positive-edge subgraph must be connected
+            if s > 1:
+                pos = Wd > 0.0
+                seen = {0}
+                frontier = [0]
+                while frontier:
+                    u = frontier.pop()
+                    for v2 in range(s):
+                        if pos[u, v2] and v2 not in seen:
+                            seen.add(v2)
+                            frontier.append(v2)
+                if len(seen) != s:
+                    continue
+            val = 1.0
+            for a in subset:
+                val *= vcost[a]
+            if s > 1:
+                iu, ju = np.triu_indices(s, 1)
+                val *= float(np.prod(np.abs(Wd[iu, ju])))
+            tv[s - 1] += val
+    return tv
 
 
 def _install_c_functions():
