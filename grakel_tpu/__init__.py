@@ -17,3 +17,10 @@ __all__ = ["Graph", "GraphBatch", "GraphKernel"] + list(_kernels_all)
 
 # GraphKernel wrapper is imported lazily at the end so kernels resolve first
 from .graph_kernels import GraphKernel  # noqa: E402
+from .utils import (KMTransformer, cross_validate_Kfold_SVM,  # noqa: E402
+                    graph_from_networkx, graph_from_pandas,
+                    graph_from_csv, graph_from_torch_geometric)
+
+__all__ += ["KMTransformer", "cross_validate_Kfold_SVM",
+            "graph_from_networkx", "graph_from_pandas",
+            "graph_from_csv", "graph_from_torch_geometric"]

@@ -36,6 +36,8 @@ class _HistogramKernel(Kernel):
         self.sparse = sparse
 
     def _collect_labels(self, g):
+        if self._label_type == "edge" and g.nb_edges() == 0:
+            return []  # edgeless graph -> zero feature row
         labs = g.get_labels(label_type=self._label_type, return_none=True)
         if labs is None:
             raise ValueError(

@@ -1,0 +1,110 @@
+"""Cross-cutting guarantees, mirroring the reference's test_common.py:
+picklability of every fitted kernel (reference test_common.py:53-58),
+GraphKernel wrapper spec handling, and Nystroem approximation.
+"""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from grakel_tpu import GraphKernel
+import grakel_tpu.kernels as K
+from grakel_tpu.datasets import generate_dataset
+
+
+@pytest.fixture(scope="module")
+def labeled_data():
+    train, test = generate_dataset(n_graphs=20, n_graphs_test=5,
+                                   r_vertices=(4, 10), random_state=0,
+                                   features=("nl", 3, "el", 2))
+    return train, test
+
+
+@pytest.fixture(scope="module")
+def attr_data():
+    train, test = generate_dataset(n_graphs=14, n_graphs_test=4,
+                                   r_vertices=(4, 8), random_state=1,
+                                   features=("na", 3))
+    return train, test
+
+
+LABELED_KERNELS = [
+    ("VertexHistogram", {}),
+    ("EdgeHistogram", {}),
+    ("ShortestPath", {}),
+    ("WeisfeilerLehman", {"n_iter": 2}),
+    ("WeisfeilerLehmanOptimalAssignment", {"n_iter": 2}),
+    ("NeighborhoodHash", {"random_state": 0}),
+    ("HadamardCode", {"n_iter": 2}),
+    ("Propagation", {"random_state": 0}),
+    ("PyramidMatch", {}),
+    ("RandomWalk", {}),
+    ("RandomWalkLabeled", {}),
+    ("GraphletSampling", {"random_state": 0,
+                          "sampling": {"n_samples": 30}}),
+    ("NeighborhoodSubgraphPairwiseDistance", {"r": 2, "d": 2}),
+    ("OddSth", {}),
+    ("SvmTheta", {"random_state": 0}),
+    ("CoreFramework", {}),
+    ("SubgraphMatching", {"k": 3}),
+    ("LovaszTheta", {"random_state": 0, "n_samples": 15}),
+]
+
+ATTR_KERNELS = [
+    ("ShortestPathAttr", {}),
+    ("GraphHopper", {}),
+    ("PropagationAttr", {"random_state": 0}),
+    ("MultiscaleLaplacian", {"random_state": 0, "n_samples": 15}),
+]
+
+
+@pytest.mark.parametrize("name,params", LABELED_KERNELS)
+def test_pickle_fitted_labeled(name, params, labeled_data):
+    train, test = labeled_data
+    k = getattr(K, name)(**params)
+    Kf = k.fit_transform(train)
+    blob = pickle.dumps(k)
+    k2 = pickle.loads(blob)
+    T1 = np.asarray(k.transform(test))
+    T2 = np.asarray(k2.transform(test))
+    np.testing.assert_allclose(T2, T1, rtol=1e-5, atol=1e-6,
+                               err_msg=name)
+    assert np.isfinite(Kf).all()
+
+
+@pytest.mark.parametrize("name,params", ATTR_KERNELS)
+def test_pickle_fitted_attr(name, params, attr_data):
+    train, test = attr_data
+    k = getattr(K, name)(**params)
+    k.fit_transform(train)
+    k2 = pickle.loads(pickle.dumps(k))
+    T1 = np.asarray(k.transform(test))
+    T2 = np.asarray(k2.transform(test))
+    np.testing.assert_allclose(np.nan_to_num(T2), np.nan_to_num(T1),
+                               rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_graphkernel_nystroem(labeled_data):
+    train, test = labeled_data
+    gk = GraphKernel(kernel="WL", Nystroem=8, random_state=0)
+    E = gk.fit_transform(train)
+    Et = gk.transform(test)
+    assert E.shape == (len(train), 8) and Et.shape == (len(test), 8)
+    assert np.isfinite(E).all() and np.isfinite(Et).all()
+
+
+def test_graphkernel_framework_chain(labeled_data):
+    train, test = labeled_data
+    gk = GraphKernel(kernel=[{"name": "core_framework"},
+                             {"name": "WL", "n_iter": 2},
+                             {"name": "vertex_histogram"}])
+    Kf = gk.fit_transform(train)
+    Kt = gk.transform(test)
+    assert Kf.shape == (len(train), len(train))
+    assert Kt.shape == (len(test), len(train))
+
+
+def test_graphkernel_unknown_raises():
+    with pytest.raises(ValueError):
+        GraphKernel(kernel="not_a_kernel").fit_transform([[{0: [1]}, {}]])
