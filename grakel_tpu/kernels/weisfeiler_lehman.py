@@ -27,6 +27,7 @@ import copy
 import warnings
 
 import numpy as np
+import jax.numpy as jnp
 
 from .base import Kernel, normalize_input
 from .histogram import VertexHistogram
@@ -136,26 +137,50 @@ class WeisfeilerLehman(Kernel):
 
     # ------------------------------------------------------- device path
     def _generations(self, batch):
-        """Yield (labels, n_labels_bound) for generations 0..n_iter."""
+        """Yield (labels, n_labels_bound) for generations 0..n_iter.
+
+        Generation 0 uses the packed initial labels; later generations
+        hash-refine on device and compact ids on host (np.unique over a
+        ~1 MB transfer) — the on-device sort alternative costs minutes
+        of XLA compile time at large N (ops/wl.py).
+        """
         labels = batch.node_labels
         n_labels = max(batch.num_node_labels, 1)
         yield labels, n_labels
+        valid_np = np.asarray(batch.node_mask)
         for _ in range(self.n_iter):
-            labels, nu = wl_ops.wl_refine(
-                labels, batch.senders, batch.receivers,
-                batch.edge_mask, batch.node_mask)
-            yield labels, bucket_size(int(nu))
+            h1, h2 = wl_ops.wl_hash_refine(
+                labels, batch.senders, batch.receivers, batch.edge_mask)
+            ids, nu = wl_ops.host_compact(h1, h2, valid_np)
+            labels = jnp.asarray(ids)
+            yield labels, bucket_size(nu)
 
     def _device_sym(self, graphs):
+        """One fused dispatch per generation (Gram accumulation into a
+        donated device buffer + next-generation hashing), host id
+        compaction between generations, a single
+        device->host transfer of K at the end."""
+        from ..ops.gram import chunk_plan
         batch = GraphBatch.from_graphs(graphs, node_label_enum={})
         n = batch.n_graphs
         gids = batch.node_graph_ids
         valid = batch.node_mask
-        ones = np.ones(int(gids.shape[0]), np.float32)
-        K = np.zeros((n, n), np.float32)
-        diag = np.zeros(n, np.float32)
-        for labels, L in self._generations(batch):
-            K += np.asarray(coo_counts_gram(gids, labels, ones, valid, n, L))
+        valid_np = np.asarray(batch.node_mask)
+        labels = batch.node_labels
+        L = max(batch.num_node_labels, 1)
+        import jax.numpy as _jnp
+        K = _jnp.zeros((n, n), _jnp.float32)
+        for _ in range(self.n_iter):
+            nc, ch = chunk_plan(L)
+            K, h1, h2 = wl_ops.wl_fused_step(
+                labels, batch.senders, batch.receivers, batch.edge_mask,
+                gids, valid, K, n, nc, ch)
+            ids, nu = wl_ops.host_compact(h1, h2, valid_np)
+            labels = jnp.asarray(ids)
+            L = bucket_size(nu)
+        nc, ch = chunk_plan(L)
+        K = wl_ops.wl_final_gram(labels, gids, valid, K, n, nc, ch)
+        K = np.asarray(K)
         diag = np.diagonal(K).copy()
         return K, diag
 
@@ -171,16 +196,19 @@ class WeisfeilerLehman(Kernel):
         vy = valid & is_y
         vx = valid & ~is_y
         ones = np.ones(gids.shape[0], np.float32)
-        K = np.zeros((ny, nx), np.float32)
-        xd = np.zeros(nx, np.float32)
-        yd = np.zeros(ny, np.float32)
+        K = None
+        xd = None
+        yd = None
         for labels, L in self._generations(batch):
-            K += np.asarray(coo_counts_gram_rect(
+            Ki = coo_counts_gram_rect(
                 gids_y, labels, ones, vy, gids_x, labels, ones, vx,
-                ny, nx, L))
-            xd += np.asarray(counts_diag(gids_x, labels, ones, vx, nx, L))
-            yd += np.asarray(counts_diag(gids_y, labels, ones, vy, ny, L))
-        return K, xd, yd
+                ny, nx, L)
+            xi = counts_diag(gids_x, labels, ones, vx, nx, L)
+            yi = counts_diag(gids_y, labels, ones, vy, ny, L)
+            K = Ki if K is None else K + Ki
+            xd = xi if xd is None else xd + xi
+            yd = yi if yd is None else yd + yi
+        return np.asarray(K), np.asarray(xd), np.asarray(yd)
 
     # --------------------------------------------------------- host path
     def _host_generations(self, graphs, inv_labels=None, extend=True):

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["gram_gemm", "gram_rect", "normalize_gram",
-           "coo_counts_gram", "coo_counts_gram_rect", "counts_diag"]
+           "coo_counts_gram", "coo_counts_gram_rect", "counts_diag",
+           "chunked_counts_gram_raw", "chunk_plan"]
 
 
 def _as_f32(x):
@@ -71,15 +72,14 @@ def normalize_gram(K, diag_rows, diag_cols):
 # chunked COO-count Gram: K[g, g'] = sum_l c[g, l] * c[g', l]
 # --------------------------------------------------------------------- #
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def _coo_gram_impl(gids, labels, weights, valid, n_graphs, n_chunks, chunk):
-    """Symmetric Gram over COO (graph, label, weight) triples.
-
-    Labels are processed in `n_chunks` static chunks of width `chunk`;
-    each chunk densifies counts to [n_graphs, chunk] via segment_sum and
-    accumulates one GEMM.  Items with valid=False or label out of the
-    current chunk contribute nothing.
-    """
+def chunked_counts_gram_raw(gids, labels, weights, valid, n_graphs,
+                            n_chunks, chunk, K0=None):
+    """Traceable symmetric counts-Gram accumulation (callable inside
+    other jitted programs).  Labels are processed in `n_chunks` static
+    chunks of width `chunk`; each chunk densifies counts to
+    [n_graphs, chunk] via segment_sum and accumulates one GEMM.  Items
+    with valid=False or label out of the current chunk contribute
+    nothing.  ``K0`` is the starting accumulator (zeros if None)."""
     gids = jnp.where(valid, gids, n_graphs)  # park invalid in pad row
 
     def body(c, K):
@@ -96,8 +96,15 @@ def _coo_gram_impl(gids, labels, weights, valid, n_graphs, n_chunks, chunk):
         return K + jnp.dot(counts, counts.T,
                            preferred_element_type=jnp.float32)
 
-    K0 = jnp.zeros((n_graphs, n_graphs), dtype=jnp.float32)
+    if K0 is None:
+        K0 = jnp.zeros((n_graphs, n_graphs), dtype=jnp.float32)
     return jax.lax.fori_loop(0, n_chunks, body, K0)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _coo_gram_impl(gids, labels, weights, valid, n_graphs, n_chunks, chunk):
+    return chunked_counts_gram_raw(gids, labels, weights, valid,
+                                   n_graphs, n_chunks, chunk)
 
 
 @functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
@@ -146,6 +153,12 @@ def _counts_diag_impl(gids, labels, weights, valid, n_graphs, n_chunks, chunk):
 
 def _chunks_for(n_labels, chunk):
     return max(1, -(-int(n_labels) // chunk))
+
+
+def chunk_plan(n_labels, chunk=4096):
+    """(n_chunks, chunk_width) used by the chunked counts-Grams."""
+    chunk = min(chunk, max(128, 1 << (int(n_labels) - 1).bit_length()))
+    return _chunks_for(n_labels, chunk), chunk
 
 
 def coo_counts_gram(gids, labels, weights, valid, n_graphs, n_labels,
