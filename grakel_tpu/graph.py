@@ -446,12 +446,12 @@ class Graph(object):
         return self.n
 
 
-def dijkstra(edge_dict_or_graph, source, weights=None):
+def dijkstra(edge_dict_or_graph, source, end_vertex=None):
     """Single-source shortest paths with a binary heap.
 
-    Accepts either a ``Graph`` or a 2-level edge dict.  Returns a dict
-    vertex -> distance.  (reference grakel/graph.py:1709-1761, built on a
-    priority dict; we use heapq which is the idiomatic stdlib equivalent.)
+    Accepts either a ``Graph`` or a 2-level edge dict.  Returns
+    ``(distances, predecessors)`` dicts like the reference
+    (grakel/graph.py:1709-1761); ties pop in (distance, vertex) order.
     """
     if isinstance(edge_dict_or_graph, Graph):
         g = edge_dict_or_graph
@@ -461,20 +461,26 @@ def dijkstra(edge_dict_or_graph, source, weights=None):
     else:
         adj = {u: [(v, float(w)) for v, w in nbrs.items()]
                for u, nbrs in edge_dict_or_graph.items()}
-    dist = {source: 0.0}
+    dist = {}
+    pred = {}
+    est = {source: 0.0}
     heap = [(0.0, source)]
-    done = set()
     while heap:
         d, u = heapq.heappop(heap)
-        if u in done:
+        if u in dist or d > est.get(u, np.inf):
             continue
-        done.add(u)
+        dist[u] = d
+        if u == end_vertex:
+            break
         for v, w in adj.get(u, ()):
             nd = d + w
-            if v not in dist or nd < dist[v]:
-                dist[v] = nd
+            if v in dist:
+                continue
+            if v not in est or nd < est[v]:
+                est[v] = nd
+                pred[v] = u
                 heapq.heappush(heap, (nd, v))
-    return dist
+    return dist, pred
 
 
 def floyd_warshall(A):

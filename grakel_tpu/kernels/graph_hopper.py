@@ -21,7 +21,6 @@ pairwise values are dense GEMMs.
 
 from __future__ import annotations
 
-import heapq
 import warnings
 from collections import defaultdict
 from numbers import Real
@@ -29,33 +28,9 @@ from numbers import Real
 import numpy as np
 
 from .base import Kernel, normalize_input
+from ..graph import dijkstra
 
 __all__ = ["GraphHopper"]
-
-
-def _dijkstra_pred(ed, source):
-    """Distances + predecessors with smallest-(dist, vertex) pop order
-    (mirrors the reference's priority_dict Dijkstra, graph.py:1709-1761)."""
-    dist = {}
-    pred = {}
-    est = {source: 0.0}
-    heap = [(0.0, source)]
-    while heap:
-        d, u = heapq.heappop(heap)
-        if u in dist:
-            continue
-        if est.get(u, None) is None or d > est[u]:
-            continue
-        dist[u] = d
-        for w, wt in ed.get(u, {}).items():
-            nd = d + wt
-            if w in dist:
-                continue
-            if w not in est or nd < est[w]:
-                est[w] = nd
-                pred[w] = u
-                heapq.heappush(heap, (nd, w))
-    return dist, pred
 
 
 def od_vectors_dag(G, shortestpath_dists):
@@ -179,7 +154,7 @@ class GraphHopper(Kernel):
                 if a != b:
                     ed[int(a)][int(b)] = AM[a, b]
             for j in range(node_nr):
-                D, p = _dijkstra_pred(ed, j)
+                D, p = dijkstra(ed, j)
                 Dv = np.array([D.get(k, np.inf) for k in range(node_nr)])
                 p = dict(p)
                 p[j] = -1

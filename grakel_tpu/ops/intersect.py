@@ -41,15 +41,84 @@ def _min_gram_impl(A, B, TI, TJ):
     return jax.lax.fori_loop(0, ni * nj, tile, K0)
 
 
-def min_intersection_gram(A, B=None, tile=64):
+# ------------------------------------------------------------------ #
+# Pallas TPU kernel: grid over (row-tile, col-tile, label-chunk) with a
+# VMEM-resident [TI, TJ, TL] broadcast-min-reduce per step, accumulating
+# into the revisited output tile.  Avoids any HBM-side [n, m, L]
+# intermediate.
+# ------------------------------------------------------------------ #
+
+_TI, _TJ, _TL = 8, 128, 512
+
+
+def _min_gram_kernel(a_ref, b_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    l = pl.program_id(2)
+
+    @pl.when(l == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    a = a_ref[:]                    # [TI, TL]
+    b = b_ref[:]                    # [TJ, TL]
+    m = jnp.minimum(a[:, None, :], b[None, :, :])   # [TI, TJ, TL] in VMEM
+    out_ref[:] += jnp.sum(m, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _min_gram_pallas(A, B, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, L = A.shape
+    m = B.shape[0]
+    grid = (n // _TI, m // _TJ, L // _TL)
+    return pl.pallas_call(
+        _min_gram_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TI, _TL), lambda i, j, l: (i, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TJ, _TL), lambda i, j, l: (j, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TI, _TJ), lambda i, j, l: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(A, B)
+
+
+def _pad_to(x, rows, cols):
+    r, c = x.shape
+    if r != rows or c != cols:
+        x = jnp.pad(x, ((0, rows - r), (0, cols - c)))
+    return x
+
+
+def min_intersection_gram(A, B=None, tile=64, force_pallas=None):
     """K[i, j] = sum_l min(A[i, l], B[j, l]); B defaults to A.
 
-    A: [n, L], B: [m, L] (numpy or jax).  Rows are padded to the tile size
-    internally; padded rows return zeros and are stripped.
+    A: [n, L], B: [m, L] (numpy or jax).  On TPU backends the tiled
+    Pallas kernel runs; elsewhere (or with ``force_pallas=False``) the
+    jnp dynamic-slice tiling is used.  ``force_pallas=True`` runs the
+    Pallas kernel in interpreter mode on non-TPU backends (tests).
     """
     A = jnp.asarray(np.asarray(A), jnp.float32)
     B = A if B is None else jnp.asarray(np.asarray(B), jnp.float32)
     n, m = A.shape[0], B.shape[0]
+    backend = jax.default_backend()
+    use_pallas = (backend not in ("cpu",)) if force_pallas is None \
+        else force_pallas
+    if use_pallas:
+        L = A.shape[1]
+        Lp = -(-L // _TL) * _TL
+        npad = -(-n // _TI) * _TI
+        mpad = -(-m // _TJ) * _TJ
+        K = _min_gram_pallas(_pad_to(A, npad, Lp), _pad_to(B, mpad, Lp),
+                             backend == "cpu")
+        return np.asarray(K[:n, :m])
     TI = min(tile, max(8, n))
     TJ = min(tile, max(8, m))
     npad = -(-n // TI) * TI

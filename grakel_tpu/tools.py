@@ -8,7 +8,7 @@ import numpy as np
 from scipy.special import binom
 
 __all__ = ["distribute_samples", "inv_dict", "nested_dict_add",
-           "nested_dict_get", "matrix_to_dict"]
+           "nested_dict_get", "matrix_to_dict", "priority_dict"]
 
 
 def distribute_samples(n, subsets_size_range, n_samples):
@@ -74,3 +74,43 @@ def matrix_to_dict(matrix, op=">", const_value=0, allow_diagonal=False):
         out[i] = {j for j in range(n)
                   if (allow_diagonal or j != i) and opf(line[j], const_value)}
     return out
+
+
+class priority_dict(dict):
+    """Dictionary whose ``pop_smallest`` returns the key with the lowest
+    value — the reference's Dijkstra queue structure (tools.py:17-86),
+    implemented over ``heapq`` with lazy deletion.  Iterating consumes
+    the dict in increasing-value order.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._heap = [(v, k) for k, v in self.items()]
+        import heapq
+        heapq.heapify(self._heap)
+
+    def __setitem__(self, key, val):
+        import heapq
+        super().__setitem__(key, val)
+        heapq.heappush(self._heap, (val, key))
+
+    def smallest(self):
+        import heapq
+        heap = self._heap
+        while heap and (heap[0][1] not in self
+                        or self[heap[0][1]] != heap[0][0]):
+            heapq.heappop(heap)
+        if not heap:
+            raise IndexError("smallest of empty priority_dict")
+        return heap[0][1]
+
+    def pop_smallest(self):
+        k = self.smallest()
+        del self[k]
+        return k
+
+    def __iter__(self):
+        def it():
+            while len(self):
+                yield self.pop_smallest()
+        return it()

@@ -74,9 +74,12 @@ def test_dijkstra_matches_fw():
     A = A + A.T
     g = Graph(A)
     S = floyd_warshall(A)
-    d = dijkstra(g, 0)
+    d, pred = dijkstra(g, 0)
     for v, dist in d.items():
         assert S[0, v] == dist
+    # every reached non-source vertex has a predecessor on a shortest path
+    for v, p in pred.items():
+        assert d[v] == d[p] + 1
 
 
 def test_subgraph():
