@@ -11,6 +11,7 @@ MXU GEMM with one ICI hop.
 
 from .mesh import make_mesh, local_mesh
 from .gram import ring_gram, sharded_counts_gram, shard_batch
+from .wl import distributed_wl_gram
 
 __all__ = ["make_mesh", "local_mesh", "ring_gram", "sharded_counts_gram",
-           "shard_batch"]
+           "shard_batch", "distributed_wl_gram"]

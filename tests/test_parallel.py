@@ -49,3 +49,19 @@ def test_sharded_counts_gram_matches_dense():
                                rtol=1e-5, atol=1e-5)
     # padded rows/cols must be zero
     assert np.all(K[n_graphs:] == 0) and np.all(K[:, n_graphs:] == 0)
+
+
+def test_distributed_wl_matches_single_chip():
+    from grakel_tpu.kernels import WeisfeilerLehman
+    from grakel_tpu.kernels.base import normalize_input
+    from grakel_tpu.parallel import distributed_wl_gram
+    from grakel_tpu.datasets import generate_dataset
+
+    train, _ = generate_dataset(n_graphs=19, n_graphs_test=1,
+                                r_vertices=(3, 9), random_state=5,
+                                features=("nl", 3))
+    graphs = normalize_input(train)
+    K_single = WeisfeilerLehman(n_iter=3).fit_transform(train)
+    mesh = make_mesh(8)
+    K_dist = distributed_wl_gram(graphs, n_iter=3, mesh=mesh)
+    np.testing.assert_allclose(K_dist, K_single, rtol=1e-5, atol=1e-5)
