@@ -47,7 +47,9 @@ def make_nci1_scale_dataset():
     return train
 
 
-def bench_ours(data, repeats=3):
+def bench_ours(data, repeats=2):
+    # repeat 1 pays one-time XLA compiles (minutes on this tunneled
+    # backend); the min reflects warm steady-state
     from grakel_tpu.kernels import WeisfeilerLehman
     times = []
     K = None

@@ -179,8 +179,8 @@ class WeisfeilerLehman(Kernel):
             labels = jnp.asarray(ids)
             L = bucket_size(nu)
         nc, ch = chunk_plan(L)
-        K = wl_ops.wl_final_gram(labels, gids, valid, K, n, nc, ch)
-        K = np.asarray(K)
+        K = np.asarray(wl_ops.wl_final_gram(labels, gids, valid, K,
+                                            n, nc, ch))
         diag = np.diagonal(K).copy()
         return K, diag
 

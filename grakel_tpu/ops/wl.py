@@ -120,7 +120,11 @@ def wl_fused_step(labels, senders, receivers, edge_valid, gids,
 @functools.partial(jax.jit, static_argnums=(4, 5, 6),
                    donate_argnums=(3,))
 def wl_final_gram(labels, gids, node_valid, K, n_graphs, n_chunks, chunk):
-    """Last generation: Gram accumulation only (no refinement)."""
+    """Last generation: Gram accumulation only (no refinement).
+
+    (An upper-triangle-only device->host transfer was tried to halve
+    the dominant transfer cost, but the 8.4M-index gather compiles
+    pathologically on this backend; the full K transfer is robust.)"""
     from .gram import chunked_counts_gram_raw
     ones = jnp.where(node_valid, 1.0, 0.0).astype(jnp.float32)
     return chunked_counts_gram_raw(gids, labels, ones, node_valid,
