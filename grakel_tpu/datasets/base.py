@@ -71,13 +71,22 @@ dataset_metadata = {
     "REDDIT-BINARY": {"nl": False, "el": False, "na": False, "ea": False},
     "REDDIT-MULTI-5K": {"nl": False, "el": False, "na": False, "ea": False},
     "REDDIT-MULTI-12K": {"nl": False, "el": False, "na": False, "ea": False},
+    "FINGERPRINT": {"nl": False, "el": False, "na": True, "ea": True},
     "SYNTHETIC": {"nl": False, "el": False, "na": True, "ea": False},
     "SYNTHETICnew": {"nl": False, "el": False, "na": True, "ea": False},
     "Synthie": {"nl": False, "el": False, "na": True, "ea": False},
     "Tox21_AHR": {"nl": True, "el": True, "na": False, "ea": False},
     "Tox21_AR": {"nl": True, "el": True, "na": False, "ea": False},
+    "Tox21_AR-LBD": {"nl": True, "el": True, "na": False, "ea": False},
+    "Tox21_ARE": {"nl": True, "el": True, "na": False, "ea": False},
+    "Tox21_aromatase": {"nl": True, "el": True, "na": False, "ea": False},
+    "Tox21_ATAD5": {"nl": True, "el": True, "na": False, "ea": False},
     "Tox21_ER": {"nl": True, "el": True, "na": False, "ea": False},
+    "Tox21_ER_LBD": {"nl": True, "el": True, "na": False, "ea": False},
+    "Tox21_HSE": {"nl": True, "el": True, "na": False, "ea": False},
+    "Tox21_MMP": {"nl": True, "el": True, "na": False, "ea": False},
     "Tox21_p53": {"nl": True, "el": True, "na": False, "ea": False},
+    "Tox21_PPAR-gamma": {"nl": True, "el": True, "na": False, "ea": False},
     "ZINC_full": {"nl": True, "el": True, "na": False, "ea": False},
 }
 
