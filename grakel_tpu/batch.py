@@ -123,32 +123,34 @@ class GraphBatch:
 
         node_gid = np.full(N_pad, n, dtype=np.int32)
         node_msk = np.zeros(N_pad, dtype=bool)
-        node_lab_raw = []
         send = np.full(E_pad, N_pad - 1, dtype=np.int32)
         recv = np.full(E_pad, N_pad - 1, dtype=np.int32)
         ew = np.zeros(E_pad, dtype=np.float32)
         edge_gid = np.full(E_pad, n, dtype=np.int32)
         edge_msk = np.zeros(E_pad, dtype=bool)
-        edge_lab_raw = []
 
-        epos = 0
-        for gi, g in enumerate(graphs):
-            o = offsets[gi]
-            node_gid[o:o + g.n] = gi
-            node_msk[o:o + g.n] = True
+        # vectorized packing: one concatenate per array instead of a
+        # python loop of slice assignments per graph
+        node_gid[:N] = np.repeat(np.arange(n, dtype=np.int32), n_nodes)
+        node_msk[:N] = True
+        edge_off = np.repeat(offsets[:-1], n_edges).astype(np.int32)
+        if E:
+            send[:E] = np.concatenate(
+                [g.senders for g in graphs]) + edge_off
+            recv[:E] = np.concatenate(
+                [g.receivers for g in graphs]) + edge_off
+            ew[:E] = np.concatenate([g.weights for g in graphs])
+            edge_gid[:E] = np.repeat(np.arange(n, dtype=np.int32), n_edges)
+            edge_msk[:E] = True
+        node_lab_raw = []
+        edge_lab_raw = []
+        for g in graphs:
             labs = g.node_labels
             node_lab_raw.extend(labs.get(v, 0) for v in range(g.n))
-            m = len(g.senders)
-            send[epos:epos + m] = g.senders + o
-            recv[epos:epos + m] = g.receivers + o
-            ew[epos:epos + m] = g.weights
-            edge_gid[epos:epos + m] = gi
-            edge_msk[epos:epos + m] = True
             elabs = g.edge_labels
             edge_lab_raw.extend(
                 elabs.get((int(s), int(r)), 0)
                 for s, r in zip(g.senders, g.receivers))
-            epos += m
 
         if node_label_enum is None:
             node_label_enum = {}
