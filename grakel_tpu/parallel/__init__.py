@@ -12,6 +12,8 @@ MXU GEMM with one ICI hop.
 from .mesh import make_mesh, local_mesh
 from .gram import ring_gram, sharded_counts_gram, shard_batch
 from .wl import distributed_wl_gram
+from .large_graph import edge_partitioned_wl_features
 
 __all__ = ["make_mesh", "local_mesh", "ring_gram", "sharded_counts_gram",
-           "shard_batch", "distributed_wl_gram"]
+           "shard_batch", "distributed_wl_gram",
+           "edge_partitioned_wl_features"]

@@ -65,3 +65,51 @@ def test_distributed_wl_matches_single_chip():
     mesh = make_mesh(8)
     K_dist = distributed_wl_gram(graphs, n_iter=3, mesh=mesh)
     np.testing.assert_allclose(K_dist, K_single, rtol=1e-5, atol=1e-5)
+
+
+def test_edge_partitioned_wl_matches_single_device():
+    from grakel_tpu.graph import Graph
+    from grakel_tpu.parallel import edge_partitioned_wl_features
+    from grakel_tpu.ops import wl as wl_ops
+
+    rng = np.random.RandomState(7)
+    n = 200
+    A = (rng.rand(n, n) < 0.03).astype(float)
+    A = np.triu(A, 1)
+    A = A + A.T
+    g = Graph(A, {v: int(rng.randint(0, 4)) for v in range(n)}, {})
+
+    mesh = make_mesh(8)
+    feats, final = edge_partitioned_wl_features(g, n_iter=3, mesh=mesh)
+
+    # single-device reference refinement over the same hash pipeline
+    N_pad = 256
+    labels = np.zeros(N_pad, np.int32)
+    labs = g.get_labels()
+    enum = {}
+    for v in range(n):
+        l = labs[v]
+        enum.setdefault(l, len(enum))
+        labels[v] = enum[l]
+    labels[n:] = -1
+    valid = np.zeros(N_pad, bool)
+    valid[:n] = True
+    m = len(g.senders)
+    E_pad = 2048
+    send = np.full(E_pad, N_pad - 1, np.int32)
+    recv = np.full(E_pad, N_pad - 1, np.int32)
+    emask = np.zeros(E_pad, bool)
+    send[:m] = g.senders
+    recv[:m] = g.receivers
+    emask[:m] = True
+    cur = jnp.asarray(labels)
+    for it in range(3):
+        h1, h2 = wl_ops.wl_hash_refine(cur, jnp.asarray(send),
+                                       jnp.asarray(recv),
+                                       jnp.asarray(emask))
+        ids, nu = wl_ops.host_compact(h1, h2, valid)
+        cur = jnp.asarray(ids)
+        hist = {}
+        for l in np.asarray(ids)[valid]:
+            hist[int(l)] = hist.get(int(l), 0) + 1
+        assert hist == feats[it + 1], f"generation {it + 1}"
