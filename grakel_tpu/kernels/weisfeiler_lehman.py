@@ -151,7 +151,8 @@ class WeisfeilerLehman(Kernel):
         for _ in range(self.n_iter):
             h1, h2 = wl_ops.wl_hash_refine(
                 labels, batch.senders, batch.receivers, batch.edge_mask)
-            ids, nu = wl_ops.host_compact(h1, h2, valid_np)
+            h = np.asarray(jnp.stack([h1, h2]))  # one D2H transfer
+            ids, nu = wl_ops.host_compact(h[0], h[1], valid_np)
             labels = jnp.asarray(ids)
             yield labels, bucket_size(nu)
 
@@ -172,15 +173,18 @@ class WeisfeilerLehman(Kernel):
         K = _jnp.zeros((n, n), _jnp.float32)
         for _ in range(self.n_iter):
             nc, ch = chunk_plan(L)
-            K, h1, h2 = wl_ops.wl_fused_step(
+            K, H = wl_ops.wl_fused_step(
                 labels, batch.senders, batch.receivers, batch.edge_mask,
                 gids, valid, K, n, nc, ch)
-            ids, nu = wl_ops.host_compact(h1, h2, valid_np)
+            H = np.asarray(H)  # [2, N] — one D2H transfer
+            ids, nu = wl_ops.host_compact(H[0], H[1], valid_np)
             labels = jnp.asarray(ids)
             L = bucket_size(nu)
         nc, ch = chunk_plan(L)
-        K = np.asarray(wl_ops.wl_final_gram(labels, gids, valid, K,
-                                            n, nc, ch))
+        Kd = wl_ops.wl_final_gram(labels, gids, valid, K, n, nc, ch)
+        # K holds exact integer counts-dot-products; fetch via the
+        # cheapest lossless encoding (byte planes, ops/wl.py).
+        K = wl_ops.fetch_count_gram(Kd)
         diag = np.diagonal(K).copy()
         return K, diag
 

@@ -1,0 +1,231 @@
+"""Breadth benchmark: per-kernel Gram wall time on synthetic datasets
+with the statistics of the reference's evaluation study.
+
+The reference publishes Gram-matrix wall times per kernel per dataset
+(reference doc/benchmarks/evaluation.rst; copied to BASELINE.md).  The
+real TU datasets cannot be downloaded in this zero-egress environment,
+so each dataset is replaced by a synthetic stand-in with the published
+statistics (graph count, vertex/edge averages, label count —
+BASELINE.md §E).  Times are therefore comparable in scale, not
+identical-input measurements; the same-host reference re-measurement of
+the headline WL number lives in BENCH_BASELINE.json.
+
+Run (exclusive TPU access required — the axon pool serializes):
+    python tools/full_bench.py [--out docs/benchmarks.md] [--quick]
+
+Writes a markdown table (ours vs published baseline) and a JSON blob.
+Each kernel runs twice; the min is reported (first run pays XLA
+compiles).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+from grakel_tpu.datasets import generate_dataset  # noqa: E402
+
+
+# dataset-name -> (n_graphs, vertex range, connectivity range, n_labels)
+# statistics from BASELINE.md §E (reference comparison.rst:21-44); the
+# connectivity range is chosen so avg edges matches the published value.
+DATASETS = {
+    "MUTAG": dict(n_graphs=188, r_vertices=(10, 26),
+                  r_connectivity=(0.10, 0.16), features=("nl", 7)),
+    "ENZYMES": dict(n_graphs=600, r_vertices=(15, 50),
+                    r_connectivity=(0.10, 0.14), features=("nl", 3)),
+    "NCI1": dict(n_graphs=4110, r_vertices=(10, 50),
+                 r_connectivity=(0.07, 0.15), features=("nl", 37)),
+    "IMDB-B": dict(n_graphs=1000, r_vertices=(12, 28),
+                   r_connectivity=(0.4, 0.6), features=None),
+}
+
+# published baseline wall seconds (BASELINE.md §A/§B); None = not published
+PUBLISHED = {
+    ("VH", "MUTAG"): 0.01, ("VH", "ENZYMES"): 0.04, ("VH", "NCI1"): 0.84,
+    ("SP", "MUTAG"): 0.92, ("SP", "ENZYMES"): 11.03, ("SP", "NCI1"): 69.69,
+    ("WL-VH", "MUTAG"): 0.21, ("WL-VH", "ENZYMES"): 3.81,
+    ("WL-VH", "NCI1"): 425.33,
+    ("NH", "MUTAG"): 0.40, ("NH", "ENZYMES"): 11.17, ("NH", "NCI1"): 424.54,
+    ("NSPDK", "MUTAG"): 4.05, ("NSPDK", "ENZYMES"): 27.02,
+    ("NSPDK", "NCI1"): 369.81,
+    ("ODD-STh", "MUTAG"): 1.54, ("ODD-STh", "ENZYMES"): 50.05,
+    ("ODD-STh", "NCI1"): 2762.13,
+    ("PM", "MUTAG"): 2.59, ("PM", "ENZYMES"): 31.38, ("PM", "NCI1"): 2257.50,
+    ("PK", "MUTAG"): 0.48, ("PK", "ENZYMES"): 12.05, ("PK", "NCI1"): 627.83,
+    ("CORE-WL", "MUTAG"): 0.55, ("CORE-WL", "ENZYMES"): 12.52,
+    ("CORE-WL", "NCI1"): 870.56,
+    ("CORE-SP", "MUTAG"): 2.69, ("CORE-SP", "ENZYMES"): 48.02,
+    ("CORE-SP", "NCI1"): 196.54,
+    ("WL-SP", "MUTAG"): 7.02, ("WL-SP", "ENZYMES"): 87.07,
+    ("WL-SP", "NCI1"): 929.50,
+    ("RW", "MUTAG"): 106.86,
+    ("SM", "MUTAG"): 117.25,
+    ("GH", "MUTAG"): 24.70, ("GH", "ENZYMES"): 938.33,
+    ("ML", "MUTAG"): 603.15,
+    ("GR", "IMDB-B"): 1365.89,
+    ("SVM-theta", "IMDB-B"): 39.40,
+    ("PM", "IMDB-B"): 88.02,
+    ("ODD-STh", "IMDB-B"): 4.47,
+    ("NH", "IMDB-B"): 21.83,
+    ("WL-VH", "IMDB-B"): 4.49,
+    ("SP", "IMDB-B"): 11.51,
+    ("PK", "IMDB-B"): 7.41,
+}
+
+
+def _kernels():
+    import grakel_tpu as gt
+    return {
+        "VH": lambda: gt.VertexHistogram(),
+        "SP": lambda: gt.ShortestPath(),
+        "WL-VH": lambda: gt.WeisfeilerLehman(n_iter=5),
+        "WL-SP": lambda: gt.WeisfeilerLehman(
+            n_iter=5, base_graph_kernel=(gt.ShortestPath, {})),
+        "NH": lambda: gt.NeighborhoodHash(),
+        "NSPDK": lambda: gt.NeighborhoodSubgraphPairwiseDistance(),
+        "ODD-STh": lambda: gt.OddSth(),
+        "PM": lambda: gt.PyramidMatch(),
+        "PK": lambda: gt.Propagation(random_state=42),
+        "CORE-WL": lambda: gt.CoreFramework(
+            base_graph_kernel=(gt.WeisfeilerLehman, {})),
+        "CORE-SP": lambda: gt.CoreFramework(
+            base_graph_kernel=(gt.ShortestPath, {})),
+        "RW": lambda: gt.RandomWalk(lamda=0.01),
+        "SM": lambda: gt.SubgraphMatching(k=3),
+        "GH": lambda: gt.GraphHopper(),
+        "ML": lambda: gt.MultiscaleLaplacian(random_state=42),
+        "GR": lambda: gt.GraphletSampling(
+            k=5, sampling={"n_samples": 150}, random_state=42),
+        "SVM-theta": lambda: gt.SvmTheta(random_state=42),
+        "WL-OA": lambda: gt.WeisfeilerLehmanOptimalAssignment(),
+        "EH": lambda: gt.EdgeHistogram(),
+    }
+
+
+# which (kernel, dataset) cells to run; order = fast first
+PLAN = [
+    ("VH", ["MUTAG", "ENZYMES", "NCI1"]),
+    ("WL-VH", ["MUTAG", "ENZYMES", "NCI1"]),
+    ("SP", ["MUTAG", "ENZYMES", "NCI1"]),
+    ("NH", ["MUTAG", "ENZYMES", "NCI1"]),
+    ("PK", ["MUTAG", "ENZYMES", "NCI1"]),
+    ("PM", ["MUTAG", "ENZYMES", "NCI1"]),
+    ("ODD-STh", ["MUTAG", "ENZYMES"]),
+    ("NSPDK", ["MUTAG", "ENZYMES"]),
+    ("WL-OA", ["MUTAG", "ENZYMES"]),
+    ("CORE-WL", ["MUTAG", "ENZYMES", "NCI1"]),
+    ("CORE-SP", ["MUTAG", "ENZYMES", "NCI1"]),
+    ("WL-SP", ["MUTAG", "ENZYMES", "NCI1"]),
+    ("SVM-theta", ["MUTAG", "IMDB-B"]),
+    ("GR", ["MUTAG", "IMDB-B"]),
+    ("RW", ["MUTAG"]),
+    ("SM", ["MUTAG"]),
+    ("GH", ["MUTAG", "ENZYMES"]),
+    ("ML", ["MUTAG"]),
+]
+
+QUICK_PLAN = [(k, [d for d in ds if d == "MUTAG"]) for k, ds in PLAN]
+
+
+def load(name, needs_labels=True):
+    spec = dict(DATASETS[name])
+    if spec["features"] is None and needs_labels:
+        spec["features"] = ("nl", 2)  # degree-like labels stand-in
+    n = spec.pop("n_graphs")
+    train, _ = generate_dataset(n_graphs=n + 1, n_graphs_test=1,
+                                random_state=1234, **spec)
+    return train
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(HERE, "docs",
+                                                  "benchmarks.md"))
+    ap.add_argument("--json", default=os.path.join(HERE, "docs",
+                                                   "benchmarks.json"))
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated kernel names to run")
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    plan = QUICK_PLAN if args.quick else PLAN
+    if args.only:
+        keep = set(args.only.split(","))
+        plan = [(k, ds) for k, ds in plan if k in keep]
+
+    kernels = _kernels()
+    cache = {}
+    results = {}
+    for kname, dnames in plan:
+        for dname in dnames:
+            if dname not in cache:
+                cache[dname] = load(dname)
+            data = cache[dname]
+            times = []
+            try:
+                for _ in range(args.repeats):
+                    k = kernels[kname]()
+                    t0 = time.perf_counter()
+                    K = k.fit_transform(data)
+                    times.append(time.perf_counter() - t0)
+                K = np.asarray(K)
+                assert K.shape == (len(data), len(data))
+                assert np.isfinite(K).all()
+                secs = min(times)
+            except Exception as e:  # record failures, keep going
+                print(f"FAIL {kname} {dname}: {e}", file=sys.stderr)
+                results[(kname, dname)] = None
+                continue
+            results[(kname, dname)] = secs
+            base = PUBLISHED.get((kname, dname))
+            sp = f"  ({base / secs:8.1f}x)" if base else ""
+            print(f"{kname:10s} {dname:8s} {secs:9.3f}s{sp}", flush=True)
+
+    # ---- emit markdown ------------------------------------------------ #
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    dnames = ["MUTAG", "ENZYMES", "NCI1", "IMDB-B"]
+    lines = [
+        "# Benchmarks — grakel_tpu vs the reference's published study",
+        "",
+        "Gram-matrix wall seconds (min of %d runs, compile excluded by the"
+        % args.repeats,
+        "repeat) on one TPU v5e chip behind a network tunnel, on synthetic",
+        "datasets matching the published statistics (BASELINE.md §E).",
+        "Baseline = the reference's published single-thread CPU numbers",
+        "(BASELINE.md §A/§B, Xeon E7-4860 @2.27 GHz).  `--` = cell not run",
+        "or not published.",
+        "",
+        "| Kernel | " + " | ".join(
+            f"{d} ours | {d} ref | speedup" for d in dnames) + " |",
+        "|---|" + "---|" * (3 * len(dnames)),
+    ]
+    for kname, _ in plan:
+        row = [kname]
+        for d in dnames:
+            secs = results.get((kname, d))
+            base = PUBLISHED.get((kname, d))
+            row.append(f"{secs:.3f}s" if secs is not None else "--")
+            row.append(f"{base:.2f}s" if base else "--")
+            row.append(f"{base / secs:.0f}x" if secs and base else "--")
+        lines.append("| " + " | ".join(row) + " |")
+    lines.append("")
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    with open(args.json, "w") as f:
+        json.dump({f"{k}/{d}": v for (k, d), v in results.items()}, f,
+                  indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
