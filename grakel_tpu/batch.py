@@ -142,22 +142,44 @@ class GraphBatch:
             ew[:E] = np.concatenate([g.weights for g in graphs])
             edge_gid[:E] = np.repeat(np.arange(n, dtype=np.int32), n_edges)
             edge_msk[:E] = True
-        node_lab_raw = []
-        edge_lab_raw = []
-        for g in graphs:
-            labs = g.node_labels
-            node_lab_raw.extend(labs.get(v, 0) for v in range(g.n))
-            elabs = g.edge_labels
-            edge_lab_raw.extend(
-                elabs.get((int(s), int(r)), 0)
-                for s, r in zip(g.senders, g.receivers))
-
         if node_label_enum is None:
             node_label_enum = {}
         if edge_label_enum is None:
             edge_label_enum = {}
-        nl = enumerate_labels(node_lab_raw, node_label_enum, extend_enums)
-        el = enumerate_labels(edge_lab_raw, edge_label_enum, extend_enums)
+
+        # vectorized fast path: fresh enums + all-integer node labels +
+        # no edge labels -> one np.unique instead of per-item dict ops.
+        # (Only valid for fresh enums: ids come out value-ordered, not
+        # first-occurrence-ordered; downstream Grams are id-permutation
+        # invariant and all fresh-enum callers pass whole batches.)
+        nl = el = None
+        if extend_enums and not node_label_enum and not edge_label_enum \
+                and all(not g.edge_labels for g in graphs):
+            arrs = [g.numeric_node_label_array() for g in graphs]
+            if all(a is not None for a in arrs):
+                raw = (np.concatenate(arrs) if arrs
+                       else np.zeros(0, np.int64))
+                uniq, nl = np.unique(raw, return_inverse=True)
+                nl = nl.astype(np.int32)
+                node_label_enum.update(
+                    {int(u): i for i, u in enumerate(uniq)})
+                el = np.zeros(E, dtype=np.int32)
+                if E:
+                    edge_label_enum[0] = 0
+        if nl is None:
+            node_lab_raw = []
+            edge_lab_raw = []
+            for g in graphs:
+                labs = g.node_labels
+                node_lab_raw.extend(labs.get(v, 0) for v in range(g.n))
+                elabs = g.edge_labels
+                edge_lab_raw.extend(
+                    elabs.get((int(s), int(r)), 0)
+                    for s, r in zip(g.senders, g.receivers))
+            nl = enumerate_labels(node_lab_raw, node_label_enum,
+                                  extend_enums)
+            el = enumerate_labels(edge_lab_raw, edge_label_enum,
+                                  extend_enums)
         node_lab = np.zeros(N_pad, dtype=np.int32)
         node_lab[:N] = nl
         edge_lab = np.zeros(E_pad, dtype=np.int32)

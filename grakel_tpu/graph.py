@@ -286,6 +286,25 @@ class Graph(object):
     def get_label(self, v, label_type="vertex"):
         return self.get_labels(label_type=label_type)[v]
 
+    def numeric_node_label_array(self):
+        """int64[n] of node labels in index order, or ``None`` when any
+        label is non-integer (packing fast path; see batch.from_graphs).
+        Unlabeled vertices get 0, matching ``get_labels`` defaults."""
+        if "nlarr" not in self._cache:
+            arr = np.zeros(self.n, dtype=np.int64)
+            if self.node_labels:
+                try:
+                    ks = np.fromiter(self.node_labels.keys(), np.int64,
+                                     len(self.node_labels))
+                    vs = np.fromiter(self.node_labels.values(), np.int64,
+                                     len(self.node_labels))
+                except (TypeError, ValueError):
+                    self._cache["nlarr"] = None
+                    return None
+                arr[ks] = vs
+            self._cache["nlarr"] = arr
+        return self._cache["nlarr"]
+
     def label(self, v, label_type="vertex"):
         return self.get_label(v, label_type)
 

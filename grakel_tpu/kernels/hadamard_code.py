@@ -34,7 +34,7 @@ from scipy.linalg import hadamard
 from .base import Kernel, normalize_input
 from .histogram import VertexHistogram
 from ..batch import GraphBatch, bucket_size
-from ..ops.gram import (coo_counts_gram, coo_counts_gram_rect, counts_diag,
+from ..ops.gram import (coo_counts_gram, coo_counts_gram_rect, counts_diag, fetch_gram,
                         normalize_gram)
 from ..ops.wl import compact_ids
 
@@ -229,7 +229,7 @@ class HadamardCode(Kernel):
         for h1, h2 in self._device_run(graphs, codes, dims, batch):
             ids, nu = compact_ids(h1, h2, valid)
             L = bucket_size(int(nu))
-            K += np.asarray(coo_counts_gram(gids, ids, ones, valid, n, L))
+            K += fetch_gram(coo_counts_gram(gids, ids, ones, valid, n, L))
         return K
 
     def _device_rect(self, Xg, Yg, n_fit_labels, enum_t):
@@ -261,7 +261,7 @@ class HadamardCode(Kernel):
                                        batch):
             ids, nu = compact_ids(h1, h2, jnp.asarray(valid))
             L = bucket_size(int(nu))
-            K += np.asarray(coo_counts_gram_rect(
+            K += fetch_gram(coo_counts_gram_rect(
                 gids_y, ids, ones, vy, gids_x, ids, ones, vx, ny, nx, L))
             xd += np.asarray(counts_diag(gids_x, ids, ones, vx, nx, L))
             yd += np.asarray(counts_diag(gids_y, ids, ones, vy, ny, L))

@@ -17,7 +17,8 @@ import numpy as np
 
 from .base import Kernel, normalize_input
 from ..batch import bucket_size, enumerate_labels
-from ..ops.gram import coo_counts_gram, coo_counts_gram_rect, counts_diag
+from ..ops.gram import (coo_counts_gram, coo_counts_gram_rect, counts_diag,
+                        fetch_gram)
 
 __all__ = ["VertexHistogram", "EdgeHistogram"]
 
@@ -75,11 +76,11 @@ class _HistogramKernel(Kernel):
         L = max(px["n_labels"], py["n_labels"] if py else 0, 1)
         ones = np.ones(len(px["gids"]), dtype=np.float32)
         if py is None:
-            return np.asarray(coo_counts_gram(
+            return fetch_gram(coo_counts_gram(
                 px["gids"], px["labels"], ones, px["valid"], px["n"], L))
         ones_y = np.ones(len(py["gids"]), dtype=np.float32)
         # rows = transform graphs (py), cols = fit graphs (px)
-        return np.asarray(coo_counts_gram_rect(
+        return fetch_gram(coo_counts_gram_rect(
             py["gids"], py["labels"], ones_y, py["valid"],
             px["gids"], px["labels"], ones, px["valid"],
             py["n"], px["n"], L))

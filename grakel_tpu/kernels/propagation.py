@@ -39,7 +39,8 @@ from sklearn.utils import check_random_state
 from .base import Kernel, normalize_input
 from ..batch import bucket_size
 from ..graph import Graph
-from ..ops.gram import coo_counts_gram, coo_counts_gram_rect, counts_diag
+from ..ops.gram import (coo_counts_gram, coo_counts_gram_rect, counts_diag,
+                        fetch_gram)
 
 __all__ = ["Propagation", "PropagationAttr"]
 
@@ -294,12 +295,12 @@ class Propagation(Kernel):
         if py is None:
             g, k, w, v = self._pad(gx, kx, wx)
             L = bucket_size(max(len(enum), 1))
-            return np.asarray(coo_counts_gram(g, k, w, v, len(px), L))
+            return fetch_gram(coo_counts_gram(g, k, w, v, len(px), L))
         gy, ky, wy = self._stream(py, enum)
         L = bucket_size(max(len(enum), 1))
         ga, ka, wa, va = self._pad(gy, ky, wy)
         gb, kb, wb, vb = self._pad(gx, kx, wx)
-        return np.asarray(coo_counts_gram_rect(
+        return fetch_gram(coo_counts_gram_rect(
             ga, ka, wa, va, gb, kb, wb, vb, len(py), len(px), L))
 
     def _diag(self, parsed):

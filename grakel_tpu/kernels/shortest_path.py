@@ -163,7 +163,8 @@ class ShortestPath(Kernel):
                                   jnp.asarray(st["valid"]))
             L = bucket_size(int(nu))
             ones = np.ones(len(st["gids"]), np.float32)
-            return np.asarray(coo_counts_gram(
+            from ..ops.gram import fetch_gram
+            return fetch_gram(coo_counts_gram(
                 st["gids"], ids, ones, st["valid"], st["n"], L))
         # joint stream: consistent feature ids across X and Y
         joint = {
@@ -186,7 +187,8 @@ class ShortestPath(Kernel):
         gy = np.where(is_y, gids - nx, 0).astype(np.int32)
         gx = np.where(is_y, 0, gids).astype(np.int32)
         ones = np.ones(len(gids), np.float32)
-        K = np.asarray(coo_counts_gram_rect(
+        from ..ops.gram import fetch_gram
+        K = fetch_gram(coo_counts_gram_rect(
             gy, ids, ones, vy, gx, ids, ones, vx, ny, nx, L))
         self._Y_diag_cache = np.asarray(
             counts_diag(gy, ids, ones, vy, ny, L))

@@ -39,6 +39,24 @@ from ..ops import wl as wl_ops
 
 __all__ = ["WeisfeilerLehman"]
 
+_CPU_GEMM_CACHE = {}
+
+
+def _cpu_gemm(C):
+    """C @ C.T on the XLA **CPU** backend — ~30x the installed BLAS on
+    this host, and keeps host Gram assembly off the (tunneled) device
+    link.  Jitted once per process."""
+    import jax
+    fn = _CPU_GEMM_CACHE.get("fn")
+    if fn is None:
+        cpu = jax.devices("cpu")[0]
+        base = jax.jit(
+            lambda c: jnp.dot(c, c.T, preferred_element_type=jnp.float32),
+            device=cpu)
+        _CPU_GEMM_CACHE["fn"] = fn = (base, cpu)
+    base, cpu = fn
+    return base(jax.device_put(C, cpu))
+
 
 class WeisfeilerLehman(Kernel):
     """WL subtree kernel framework."""
@@ -156,35 +174,98 @@ class WeisfeilerLehman(Kernel):
             labels = jnp.asarray(ids)
             yield labels, bucket_size(nu)
 
+    # count-matrix columns above which the Gram is accumulated on device
+    # rather than host-assembled (see _host_assembled_sym cost argument)
+    _HOST_ASSEMBLY_MAX_L0 = 1024
+
     def _device_sym(self, graphs):
-        """One fused dispatch per generation (Gram accumulation into a
-        donated device buffer + next-generation hashing), host id
-        compaction between generations, a single
-        device->host transfer of K at the end."""
+        """Symmetric fit_transform Gram on the WL fast path.
+
+        Two assembly strategies, picked by initial label count:
+
+        * **host assembly** (L0 small, the common case): the device runs
+          ONLY the per-generation hash refinement; K is reconstructed on
+          host from the compaction ids the host receives anyway — gen 0
+          as an XLA-CPU GEMM of the [n, L0] counts, generations >= 1 as
+          scipy sparse C @ C.T (counts matrices are ~1 nnz per node).
+          This never transfers the n x n Gram over the (slow, ~40 MB/s
+          tunneled) device link: host cost ~ n^2*L0 flops + sum of
+          sparse products, device-link cost ~ n^2 * 2.5 bytes — host
+          wins whenever L0 is at most ~1-2k.
+        * **device accumulation** (L0 large): one fused dispatch per
+          generation (Gram accumulated into a donated device buffer +
+          next-generation hashing), singleton-split GEMMs, one
+          byte-plane K fetch at the end.
+        """
         from ..ops.gram import chunk_plan
         batch = GraphBatch.from_graphs(graphs, node_label_enum={})
+        if max(batch.num_node_labels, 1) <= self._HOST_ASSEMBLY_MAX_L0:
+            return self._host_assembled_sym(batch)
         n = batch.n_graphs
         gids = batch.node_graph_ids
+        gids_np = np.asarray(gids)
         valid = batch.node_mask
         valid_np = np.asarray(batch.node_mask)
         labels = batch.node_labels
         L = max(batch.num_node_labels, 1)
+        gram_labels, gram_valid = labels, valid
+        diag_corr = np.zeros(n, np.float64)
         import jax.numpy as _jnp
         K = _jnp.zeros((n, n), _jnp.float32)
         for _ in range(self.n_iter):
             nc, ch = chunk_plan(L)
             K, H = wl_ops.wl_fused_step(
                 labels, batch.senders, batch.receivers, batch.edge_mask,
-                gids, valid, K, n, nc, ch)
+                gram_labels, gram_valid, gids, valid, K, n, nc, ch)
             H = np.asarray(H)  # [2, N] — one D2H transfer
+            ids, nu, counts = wl_ops.host_compact_counts(
+                H[0], H[1], valid_np)
+            labels = jnp.asarray(ids)
+            # singleton labels only touch the diagonal; GEMM over the
+            # repeated ones (ops/wl.py split_singletons)
+            gl, gv, n_rep, dc = wl_ops.split_singletons(
+                ids, counts, valid_np, gids_np, n)
+            diag_corr += dc
+            gram_labels = jnp.asarray(gl)
+            gram_valid = jnp.asarray(gv)
+            L = bucket_size(max(n_rep, 1))
+        nc, ch = chunk_plan(L)
+        Kd = wl_ops.wl_final_gram(gram_labels, gids, gram_valid, K,
+                                  n, nc, ch)
+        # K holds exact integer counts-dot-products; fetch via the
+        # cheapest lossless encoding (byte planes, ops/gram.py).
+        from ..ops.gram import fetch_gram
+        K = fetch_gram(Kd)
+        if diag_corr.any():
+            if not getattr(K.flags, "writeable", False):
+                K = np.array(K)
+            K[np.arange(n), np.arange(n)] += diag_corr.astype(K.dtype)
+        diag = np.diagonal(K).copy()
+        return K, diag
+
+    def _host_assembled_sym(self, batch):
+        """K assembled on host from refinement ids (see _device_sym)."""
+        import scipy.sparse as sp
+        n = batch.n_graphs
+        valid_np = np.asarray(batch.node_mask)
+        gids_np = np.asarray(batch.node_graph_ids)
+        g = gids_np[valid_np]
+        ones = np.ones(len(g), np.float32)
+        L0 = max(batch.num_node_labels, 1)
+        ids0 = np.asarray(batch.node_labels)[valid_np]
+        C0 = np.zeros((n, L0), np.float32)
+        np.add.at(C0, (g, ids0), 1.0)
+        K = np.array(_cpu_gemm(C0))  # writable host copy
+        labels = batch.node_labels
+        for _ in range(self.n_iter):
+            h1, h2 = wl_ops.wl_hash_refine(
+                labels, batch.senders, batch.receivers, batch.edge_mask)
+            H = np.asarray(jnp.stack([h1, h2]))
             ids, nu = wl_ops.host_compact(H[0], H[1], valid_np)
             labels = jnp.asarray(ids)
-            L = bucket_size(nu)
-        nc, ch = chunk_plan(L)
-        Kd = wl_ops.wl_final_gram(labels, gids, valid, K, n, nc, ch)
-        # K holds exact integer counts-dot-products; fetch via the
-        # cheapest lossless encoding (byte planes, ops/wl.py).
-        K = wl_ops.fetch_count_gram(Kd)
+            C = sp.csr_matrix((ones, (g, ids[valid_np])), shape=(n, nu))
+            Kh = C @ C.T
+            K += Kh.toarray()
         diag = np.diagonal(K).copy()
         return K, diag
 

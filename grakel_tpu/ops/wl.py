@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["wl_refine", "wl_hash_refine", "compact_ids", "host_compact",
-           "wl_fused_step", "wl_final_gram", "pack_u16", "fetch_count_gram"]
+           "wl_fused_step", "wl_final_gram",
+           "host_compact_counts", "split_singletons"]
 
 _U = jnp.uint32
 
@@ -90,19 +91,50 @@ def host_compact(h1, h2, valid):
     equivalent ordering to :func:`compact_ids` (ids ranked by sorted
     (h1, h2)), but without the on-device sort.  Returns
     (ids int32[N] numpy, n_unique int)."""
+    ids, nu, _ = host_compact_counts(h1, h2, valid)
+    return ids, nu
+
+
+def host_compact_counts(h1, h2, valid):
+    """:func:`host_compact` + per-id occurrence counts (int64[n_unique])."""
     import numpy as np
     h1 = np.asarray(h1, np.uint64)
     h2 = np.asarray(h2, np.uint64)
     valid = np.asarray(valid)
     packed = (h1 << np.uint64(32)) | h2
     packed = np.where(valid, packed, np.uint64(0xFFFFFFFFFFFFFFFF))
-    uniq, ids = np.unique(packed, return_inverse=True)
-    return ids.astype(np.int32), int(len(uniq))
+    uniq, ids, counts = np.unique(packed, return_inverse=True,
+                                  return_counts=True)
+    return ids.astype(np.int32), int(len(uniq)), counts
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9),
-                   donate_argnums=(6,))
-def wl_fused_step(labels, senders, receivers, edge_valid, gids,
+def split_singletons(ids, counts, valid, gids, n_graphs):
+    """Split a compacted labeling into (repeated-only relabeling,
+    singleton diagonal correction).
+
+    Labels occurring once contribute ONLY to the Gram diagonal (a
+    singleton cannot co-occur in two graphs, nor twice in one), so the
+    chunked counts-GEMM need only run over the repeated labels — in late
+    WL generations most labels are singletons, cutting GEMM chunks by a
+    large factor.  Returns ``(gram_labels int32[N], gram_valid bool[N],
+    n_repeated, diag_correction f64[n_graphs])``.
+    """
+    import numpy as np
+    rep = counts > 1                     # [n_unique]
+    node_rep = rep[ids] & valid
+    rep_idx = np.nonzero(rep)[0]
+    remap = np.zeros(len(counts), np.int32)
+    remap[rep_idx] = np.arange(len(rep_idx), dtype=np.int32)
+    gram_labels = remap[ids]
+    single = valid & ~node_rep
+    diag = np.bincount(gids[single], minlength=n_graphs)[:n_graphs]
+    return gram_labels, node_rep, int(len(rep_idx)), diag.astype(np.float64)
+
+
+@functools.partial(jax.jit, static_argnums=(9, 10, 11),
+                   donate_argnums=(8,))
+def wl_fused_step(labels, senders, receivers, edge_valid,
+                  gram_labels, gram_valid, gids,
                   node_valid, K, n_graphs, n_chunks, chunk):
     """One WL generation in a single dispatch: accumulate the current
     generation's histogram Gram into ``K`` (donated buffer) and emit the
@@ -110,44 +142,17 @@ def wl_fused_step(labels, senders, receivers, edge_valid, gids,
     host fetches them in a single transfer.  Minimizes host<->device
     round trips, which dominate on tunneled TPU setups (26 ms per
     dispatch measured).
+
+    The Gram runs over ``(gram_labels, gram_valid)`` — typically the
+    repeated-labels-only relabeling from :func:`split_singletons` —
+    while refinement hashes the full ``labels``.
     """
     from .gram import chunked_counts_gram_raw
-    ones = jnp.where(node_valid, 1.0, 0.0).astype(jnp.float32)
-    K = chunked_counts_gram_raw(gids, labels, ones, node_valid,
+    ones = jnp.where(gram_valid, 1.0, 0.0).astype(jnp.float32)
+    K = chunked_counts_gram_raw(gids, gram_labels, ones, gram_valid,
                                 n_graphs, n_chunks, chunk, K0=K)
     h1, h2 = wl_hash_refine(labels, senders, receivers, edge_valid)
     return K, jnp.stack([h1, h2])
-
-
-@jax.jit
-def pack_u16(K):
-    """(K low byte-plane u8, K high byte-plane u8, max(K)).
-
-    The Gram of histogram counts is exact integers in f32, so when
-    max < 2^16 the 16-bit copy is lossless.  Splitting it into two u8
-    byte planes beats a single u16 fetch on the tunneled backend (which
-    compresses transfers): the high plane is low-entropy (mostly 0/1)
-    and compresses away — measured 0.75 s vs 1.03 s (u16) vs 1.31 s
-    (f32) for a 4110x4110 Gram of realistic counts.  The caller checks
-    the (scalar, cheap) max before fetching; unused outputs are never
-    transferred.
-    """
-    u = K.astype(jnp.uint16)
-    return ((u & jnp.uint16(0xFF)).astype(jnp.uint8),
-            (u >> jnp.uint16(8)).astype(jnp.uint8),
-            jnp.max(K))
-
-
-def fetch_count_gram(Kd):
-    """Fetch an integer-valued f32 count-Gram from device to host with
-    the cheapest lossless encoding (byte planes when max < 2^16)."""
-    import numpy as np
-    lo, hi, kmax = pack_u16(Kd)
-    if float(kmax) < 65536.0:
-        out = np.asarray(lo).astype(np.float32)
-        out += np.asarray(hi).astype(np.float32) * np.float32(256.0)
-        return out
-    return np.asarray(Kd)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6),
