@@ -244,25 +244,40 @@ class WeisfeilerLehman(Kernel):
         return K, diag
 
     def _host_assembled_sym(self, batch):
-        """K assembled on host from refinement ids (see _device_sym)."""
+        """K assembled on host from refinement ids (see _device_sym).
+
+        Device refinement of generation h+1 and the async fetch of its
+        hashes run concurrently with generation h's host sparse product,
+        hiding the device dispatch + transfer behind host work.
+        """
         import scipy.sparse as sp
         n = batch.n_graphs
         valid_np = np.asarray(batch.node_mask)
         gids_np = np.asarray(batch.node_graph_ids)
         g = gids_np[valid_np]
         ones = np.ones(len(g), np.float32)
+
+        def refine(labels):
+            h1, h2 = wl_ops.wl_hash_refine(
+                labels, batch.senders, batch.receivers, batch.edge_mask)
+            H = jnp.stack([h1, h2])
+            try:
+                H.copy_to_host_async()
+            except AttributeError:  # pragma: no cover
+                pass
+            return H
+
+        H_next = refine(batch.node_labels)  # device busy during gen-0 GEMM
         L0 = max(batch.num_node_labels, 1)
         ids0 = np.asarray(batch.node_labels)[valid_np]
         C0 = np.zeros((n, L0), np.float32)
         np.add.at(C0, (g, ids0), 1.0)
         K = np.array(_cpu_gemm(C0))  # writable host copy
-        labels = batch.node_labels
-        for _ in range(self.n_iter):
-            h1, h2 = wl_ops.wl_hash_refine(
-                labels, batch.senders, batch.receivers, batch.edge_mask)
-            H = np.asarray(jnp.stack([h1, h2]))
+        for it in range(self.n_iter):
+            H = np.asarray(H_next)
             ids, nu = wl_ops.host_compact(H[0], H[1], valid_np)
-            labels = jnp.asarray(ids)
+            if it + 1 < self.n_iter:
+                H_next = refine(jnp.asarray(ids))
             C = sp.csr_matrix((ones, (g, ids[valid_np])), shape=(n, nu))
             Kh = C @ C.T
             K += Kh.toarray()
