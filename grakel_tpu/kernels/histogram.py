@@ -18,7 +18,7 @@ import numpy as np
 from .base import Kernel, normalize_input
 from ..batch import bucket_size, enumerate_labels
 from ..ops.gram import (coo_counts_gram, coo_counts_gram_rect, counts_diag,
-                        fetch_gram)
+                        cpu_gemm, fetch_gram)
 
 __all__ = ["VertexHistogram", "EdgeHistogram"]
 
@@ -72,8 +72,25 @@ class _HistogramKernel(Kernel):
         return {"n": len(graphs), "gids": gids_a, "labels": labs_a,
                 "valid": valid, "n_labels": len(self._enum)}
 
+    # label-universe size up to which the Gram is a host XLA-CPU GEMM
+    # (same trade as WeisfeilerLehman._HOST_ASSEMBLY_MAX_L0: below this,
+    # n^2*L host flops beat device dispatch + n^2 transfer bytes)
+    _HOST_ASSEMBLY_MAX_L = 1024
+
+    @staticmethod
+    def _host_counts(p, L):
+        C = np.zeros((p["n"], L), np.float32)
+        v = p["valid"]
+        np.add.at(C, (p["gids"][v], p["labels"][v]), 1.0)
+        return C
+
     def _gram(self, px, py=None):
         L = max(px["n_labels"], py["n_labels"] if py else 0, 1)
+        if L <= self._HOST_ASSEMBLY_MAX_L:
+            if py is None:
+                return cpu_gemm(self._host_counts(px, L))
+            return cpu_gemm(self._host_counts(py, L),
+                            self._host_counts(px, L))
         ones = np.ones(len(px["gids"]), dtype=np.float32)
         if py is None:
             return fetch_gram(coo_counts_gram(
@@ -86,10 +103,14 @@ class _HistogramKernel(Kernel):
             py["n"], px["n"], L))
 
     def _diag(self, parsed):
+        L = max(parsed["n_labels"], 1)
+        if L <= self._HOST_ASSEMBLY_MAX_L:
+            C = self._host_counts(parsed, L)
+            return np.einsum("ij,ij->i", C, C)
         ones = np.ones(len(parsed["gids"]), dtype=np.float32)
         return np.asarray(counts_diag(
             parsed["gids"], parsed["labels"], ones, parsed["valid"],
-            parsed["n"], max(parsed["n_labels"], 1)))
+            parsed["n"], L))
 
 
 class VertexHistogram(_HistogramKernel):

@@ -30,9 +30,31 @@ from itertools import filterfalse
 
 import numpy as np
 
+import functools
+
+import jax
+import jax.numpy as jnp
+
 from .base import Kernel, normalize_input
 from ..batch import bucket_size
-from ..ops.gram import coo_counts_gram, coo_counts_gram_rect
+from ..ops.gram import (chunked_counts_gram_raw, coo_counts_gram,
+                        coo_counts_gram_rect)
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9),
+                   donate_argnums=(4, 5))
+def _nspd_level_accum(g, k, w, v, S, D, idx, n, n_chunks, chunk):
+    """One NSPD level on device: counts-Gram, per-level normalization
+    (diagonal forced to 1, nan -> 0 like the reference
+    neighborhood_subgraph_pairwise_distance.py:306-325), accumulate into
+    donated ``S``; the level diagonal lands in row ``idx`` of ``D``."""
+    K = chunked_counts_gram_raw(g, k, w, v, n, n_chunks, chunk)
+    d = jnp.diagonal(K)
+    denom = jnp.sqrt(jnp.outer(d, d))
+    Q = jnp.where(denom > 0, K / denom, 0.0)
+    eye = jnp.eye(n, dtype=bool)
+    Q = jnp.where(eye, 1.0, Q)
+    return S + Q, D.at[idx].set(d)
 
 __all__ = ["NeighborhoodSubgraphPairwiseDistance", "ap_hash"]
 
@@ -56,19 +78,22 @@ def ap_hash(s):
     return h
 
 
-def _hash_graph(D, vertices, edges, glv, gle):
-    """Canonical neighborhood encoding -> AP hash (reference :394-445)."""
-    encoding = ""
+def _encode_graph(D, vertices, edges, glv, gle):
+    """Canonical neighborhood encoding string (reference :394-445); the
+    AP hash is applied in batch afterwards (native C, see
+    grakel_tpu.native.ap_hash_batch)."""
+    parts = []
     Lv = {}
     for i in vertices:
         label = "|".join(sorted(str(D[(i, j)]) + "," + str(glv[j])
                                 for j in vertices if (i, j) in D))
-        encoding += label + "."
+        parts.append(label)
+        parts.append(".")
         Lv[i] = label
-    encoding = encoding[:-1] + ":"
+    parts[-1:] = [":"]
     for (i, j) in edges:
-        encoding += Lv[i] + "," + Lv[j] + "," + str(gle[(i, j)]) + "_"
-    return ap_hash(encoding)
+        parts.append(Lv[i] + "," + Lv[j] + "," + str(gle[(i, j)]) + "_")
+    return "".join(parts)
 
 
 class NeighborhoodSubgraphPairwiseDistance(Kernel):
@@ -88,7 +113,8 @@ class NeighborhoodSubgraphPairwiseDistance(Kernel):
 
     # ------------------------------------------------------------------ #
     def _hash_neighborhoods(self, n, edges, Lv, Le, N, D_pair):
-        H = {}
+        from ..native import ap_hash_batch
+        keys, encodings = [], []
         sel = sorted(edges)
         for v in range(n):
             re = sel
@@ -96,8 +122,11 @@ class NeighborhoodSubgraphPairwiseDistance(Kernel):
                 sub_vertices = sorted(N[radius][v])
                 sv = set(sub_vertices)
                 re = {(i, j) for (i, j) in re if i in sv and j in sv}
-                H[radius, v] = _hash_graph(D_pair, sub_vertices, re, Lv, Le)
-        return H
+                keys.append((radius, v))
+                encodings.append(
+                    _encode_graph(D_pair, sub_vertices, re, Lv, Le))
+        hashes = ap_hash_batch(encodings)
+        return {k: int(h) for k, h in zip(keys, hashes)}
 
     def parse_input(self, X):
         graphs = normalize_input(X)
@@ -186,22 +215,45 @@ class NeighborhoodSubgraphPairwiseDistance(Kernel):
         v[:len(rows)] = True
         return g, k, w, v
 
+    # graph count up to which per-level Grams run as host scipy sparse
+    # products (each level has ~one nnz per vertex pair; below this the
+    # 2x(r+1)x(d+1) device dispatches dominate)
+    _HOST_LEVELS_MAX_N = 2048
+
     def fit_transform(self, X, y=None):
         self._method_calling = 2
         self.fit(X)
         ngx = self._ngx
         S = np.zeros((ngx, ngx))
         N = {}
-        for key, (rows, cols, vals, width) in self.X.items():
-            g, k, w, v = self._pad(rows, cols, vals)
-            K = np.asarray(coo_counts_gram(
-                g, k, w, v, ngx, bucket_size(max(width, 1))), np.float64)
-            K_diag = K.diagonal().copy()
-            N[key] = K_diag
-            with np.errstate(divide="ignore", invalid="ignore"):
-                Q = K / np.sqrt(np.outer(K_diag, K_diag))
-            np.fill_diagonal(Q, np.nan_to_num(np.diag(Q), nan=1.0))
-            S += np.nan_to_num(Q)
+        if ngx <= self._HOST_LEVELS_MAX_N:
+            import scipy.sparse as sp
+            for key, (rows, cols, vals, width) in self.X.items():
+                C = sp.csr_matrix((vals, (rows, cols)),
+                                  shape=(ngx, max(width, 1)))
+                K = np.asarray((C @ C.T).todense(), np.float64)
+                K_diag = K.diagonal().copy()
+                N[key] = K_diag
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    Q = K / np.sqrt(np.outer(K_diag, K_diag))
+                np.fill_diagonal(Q, np.nan_to_num(np.diag(Q), nan=1.0))
+                S += np.nan_to_num(Q)
+        else:
+            # device accumulation: per-level normalize + sum into a
+            # donated buffer; ONE [n, n] fetch for all levels
+            import jax.numpy as jnp
+            from ..ops.gram import chunk_plan
+            items = list(self.X.items())
+            Sd = jnp.zeros((ngx, ngx), jnp.float32)
+            Dd = jnp.zeros((len(items), ngx), jnp.float32)
+            for i, (key, (rows, cols, vals, width)) in enumerate(items):
+                g, k, w, v = self._pad(rows, cols, vals)
+                nc, ch = chunk_plan(bucket_size(max(width, 1)))
+                Sd, Dd = _nspd_level_accum(g, k, w, v, Sd, Dd, i,
+                                           ngx, nc, ch)
+            S = np.asarray(Sd, np.float64)
+            Dh = np.asarray(Dd, np.float64)
+            N = {key: Dh[i] for i, (key, _) in enumerate(items)}
         self._X_level_norm_factor = N
         if self.normalize:
             return S / len(self.X)

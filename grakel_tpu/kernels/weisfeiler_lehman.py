@@ -34,28 +34,10 @@ from .histogram import VertexHistogram
 from ..batch import GraphBatch, bucket_size
 from ..graph import Graph
 from ..ops.gram import (coo_counts_gram, coo_counts_gram_rect, counts_diag,
-                        normalize_gram)
+                        cpu_gemm, normalize_gram)
 from ..ops import wl as wl_ops
 
 __all__ = ["WeisfeilerLehman"]
-
-_CPU_GEMM_CACHE = {}
-
-
-def _cpu_gemm(C):
-    """C @ C.T on the XLA **CPU** backend — ~30x the installed BLAS on
-    this host, and keeps host Gram assembly off the (tunneled) device
-    link.  Jitted once per process."""
-    import jax
-    fn = _CPU_GEMM_CACHE.get("fn")
-    if fn is None:
-        cpu = jax.devices("cpu")[0]
-        base = jax.jit(
-            lambda c: jnp.dot(c, c.T, preferred_element_type=jnp.float32),
-            device=cpu)
-        _CPU_GEMM_CACHE["fn"] = fn = (base, cpu)
-    base, cpu = fn
-    return base(jax.device_put(C, cpu))
 
 
 class WeisfeilerLehman(Kernel):
@@ -177,6 +159,8 @@ class WeisfeilerLehman(Kernel):
     # count-matrix columns above which the Gram is accumulated on device
     # rather than host-assembled (see _host_assembled_sym cost argument)
     _HOST_ASSEMBLY_MAX_L0 = 1024
+    # padded-node count below which refinement itself also runs on host
+    _HOST_REFINE_MAX_N = 32768
 
     def _device_sym(self, graphs):
         """Symmetric fit_transform Gram on the WL fast path.
@@ -257,27 +241,43 @@ class WeisfeilerLehman(Kernel):
         g = gids_np[valid_np]
         ones = np.ones(len(g), np.float32)
 
-        def refine(labels):
-            h1, h2 = wl_ops.wl_hash_refine(
-                labels, batch.senders, batch.receivers, batch.edge_mask)
-            H = jnp.stack([h1, h2])
-            try:
-                H.copy_to_host_async()
-            except AttributeError:  # pragma: no cover
-                pass
-            return H
+        # below this many (padded) nodes the per-generation device round
+        # trips dwarf the O(N+E) hash work: hash on host instead.  The
+        # crossover is backend-dependent (~70 ms/generation of dispatch +
+        # fetch on a tunneled chip vs ~100 ns/node on host).
+        host_refine = valid_np.shape[0] <= self._HOST_REFINE_MAX_N
+        if host_refine:
+            send_np = np.asarray(batch.senders)
+            recv_np = np.asarray(batch.receivers)
+            emask_np = np.asarray(batch.edge_mask)
 
-        H_next = refine(batch.node_labels)  # device busy during gen-0 GEMM
+            def refine(ids_np):
+                return np.stack(wl_ops.host_hash_refine(
+                    ids_np, send_np, recv_np, emask_np))
+        else:
+            def refine(ids_np):
+                h1, h2 = wl_ops.wl_hash_refine(
+                    jnp.asarray(ids_np), batch.senders, batch.receivers,
+                    batch.edge_mask)
+                H = jnp.stack([h1, h2])
+                try:
+                    H.copy_to_host_async()
+                except AttributeError:  # pragma: no cover
+                    pass
+                return H
+
+        labels0 = np.asarray(batch.node_labels)
+        H_next = refine(labels0)  # device busy during gen-0 GEMM
         L0 = max(batch.num_node_labels, 1)
-        ids0 = np.asarray(batch.node_labels)[valid_np]
+        ids0 = labels0[valid_np]
         C0 = np.zeros((n, L0), np.float32)
         np.add.at(C0, (g, ids0), 1.0)
-        K = np.array(_cpu_gemm(C0))  # writable host copy
+        K = cpu_gemm(C0)
         for it in range(self.n_iter):
             H = np.asarray(H_next)
             ids, nu = wl_ops.host_compact(H[0], H[1], valid_np)
             if it + 1 < self.n_iter:
-                H_next = refine(jnp.asarray(ids))
+                H_next = refine(ids)
             C = sp.csr_matrix((ones, (g, ids[valid_np])), shape=(n, nu))
             Kh = C @ C.T
             K += Kh.toarray()

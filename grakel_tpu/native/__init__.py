@@ -16,7 +16,7 @@ import tempfile
 
 import numpy as np
 
-__all__ = ["clique_values", "have_native"]
+__all__ = ["clique_values", "ap_hash_batch", "have_native"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src")
@@ -26,7 +26,8 @@ _tried = False
 
 
 def _build():
-    srcs = [os.path.join(_SRC, "clique_kernel.cpp")]
+    srcs = [os.path.join(_SRC, "clique_kernel.cpp"),
+            os.path.join(_SRC, "ap_hash.cpp")]
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
            "-o", _LIB_PATH] + srcs
     subprocess.run(cmd, check=True, capture_output=True)
@@ -50,6 +51,12 @@ def _load():
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")]
         lib.clique_values.restype = None
+        lib.ap_hash_batch.argtypes = [
+            ctypes.c_long,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")]
+        lib.ap_hash_batch.restype = None
         _lib = lib
     except Exception:  # pragma: no cover - no compiler / load failure
         _lib = None
@@ -88,6 +95,37 @@ def _clique_values_py(nv, kmax, cv, ce, tv):
             P = [j for j in range(i + 1, nv) if ei[j] > 0.0]
             D = [j for j in range(i + 1, nv) if ei[j] < 0.0]
             expand(cv[i], [i], P, D)
+
+
+def _ap_hash_py(b):
+    h = 0xAAAAAAAA
+    M = 0xFFFFFFFF
+    for i, c in enumerate(b):
+        if (i & 1) == 0:
+            h ^= ((h << 7) ^ (c * (h >> 3))) & M
+        else:
+            h ^= (~((h << 11) + (c ^ (h >> 5))) & M)
+        h &= M
+    return h
+
+
+def ap_hash_batch(strings):
+    """uint32[n] of ArashPartov hashes, one per input string (native C
+    when available; identical pure-Python fallback)."""
+    bs = [s.encode("utf-8") for s in strings]
+    lib = _load()
+    if lib is None:
+        return np.array([_ap_hash_py(b) for b in bs], np.uint32)
+    n = len(bs)
+    offsets = np.zeros(n + 1, np.int64)
+    offsets[1:] = np.cumsum([len(b) for b in bs])
+    data = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    if data.size == 0:
+        data = np.zeros(1, np.uint8)
+    data = np.ascontiguousarray(data)
+    out = np.zeros(n, np.uint32)
+    lib.ap_hash_batch(n, data, offsets, out)
+    return out
 
 
 def clique_values(cv, ce, kmax):

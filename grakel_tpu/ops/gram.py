@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 __all__ = ["gram_gemm", "gram_rect", "normalize_gram",
            "coo_counts_gram", "coo_counts_gram_rect", "counts_diag",
-           "chunked_counts_gram_raw", "chunk_plan", "fetch_gram"]
+           "chunked_counts_gram_raw", "chunk_plan", "fetch_gram", "cpu_gemm"]
 
 
 def _as_f32(x):
@@ -55,6 +55,34 @@ def gram_rect(phi_rows, phi_cols):
     elif a.shape[1] < d:
         a = jnp.pad(a, ((0, 0), (0, d - a.shape[1])))
     return np.asarray(_gemm_rect(a, b))
+
+
+_CPU_GEMM = {}
+
+
+def cpu_gemm(a, b=None):
+    """``a @ a.T`` (or ``a @ b.T``) on the XLA **CPU** backend, returned
+    as numpy.  ~30x the installed BLAS on constrained hosts, and keeps
+    small host-side Gram assembly off the (possibly tunneled) device
+    link.  Jitted once per process per arity."""
+    key = "sym" if b is None else "rect"
+    fn = _CPU_GEMM.get(key)
+    if fn is None:
+        cpu = jax.devices("cpu")[0]
+        if b is None:
+            base = jax.jit(lambda x: jnp.dot(
+                x, x.T, preferred_element_type=jnp.float32), device=cpu)
+        else:
+            base = jax.jit(lambda x, y: jnp.dot(
+                x, y.T, preferred_element_type=jnp.float32), device=cpu)
+        _CPU_GEMM[key] = fn = (base, cpu)
+    base, cpu = fn
+    if b is None:
+        out = base(jax.device_put(np.asarray(a, np.float32), cpu))
+    else:
+        out = base(jax.device_put(np.asarray(a, np.float32), cpu),
+                   jax.device_put(np.asarray(b, np.float32), cpu))
+    return np.array(out)
 
 
 @jax.jit

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["wl_refine", "wl_hash_refine", "compact_ids", "host_compact",
+           "host_hash_refine",
            "wl_fused_step", "wl_final_gram",
            "host_compact_counts", "split_singletons"]
 
@@ -83,6 +84,37 @@ def wl_hash_refine(labels, senders, receivers, edge_valid):
     sum2 = jax.ops.segment_sum(m2, senders, num_segments=n)
     h1 = _fmix32(l * _U(0x9E3779B9) + sum1, 0x165667B1)
     h2 = _fmix32(l * _U(0x85EBCA6B) + sum2, 0x27D4EB2F)
+    return h1, h2
+
+
+def host_hash_refine(labels, senders, receivers, edge_valid):
+    """Numpy twin of :func:`wl_hash_refine` (bit-identical uint32
+    arithmetic).  For small batches the two device round trips per
+    generation (~70 ms on a tunneled backend) dwarf the O(N+E) hash
+    work, so the WL fast path hashes on host below a size threshold."""
+    import numpy as np
+
+    def fmix(x, seed):
+        x = x ^ np.uint32(seed)
+        x ^= x >> np.uint32(16)
+        x *= np.uint32(0x85EBCA6B)
+        x ^= x >> np.uint32(13)
+        x *= np.uint32(0xC2B2AE35)
+        x ^= x >> np.uint32(16)
+        return x
+
+    with np.errstate(over="ignore"):
+        l = np.asarray(labels).astype(np.uint32)
+        nl = l[receivers]
+        m1 = np.where(edge_valid, fmix(nl, 0x9E3779B9), np.uint32(0))
+        m2 = np.where(edge_valid, fmix(nl, 0x7F4A7C15), np.uint32(0))
+        n = l.shape[0]
+        sum1 = np.zeros(n, np.uint32)
+        sum2 = np.zeros(n, np.uint32)
+        np.add.at(sum1, senders, m1)
+        np.add.at(sum2, senders, m2)
+        h1 = fmix(l * np.uint32(0x9E3779B9) + sum1, 0x165667B1)
+        h2 = fmix(l * np.uint32(0x85EBCA6B) + sum2, 0x27D4EB2F)
     return h1, h2
 
 
