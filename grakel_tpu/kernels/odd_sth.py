@@ -64,25 +64,36 @@ def _bfs_dag(root, nbrs, h):
 
 def _inverse_topological(vertices, children, labels):
     """Kahn's algorithm with the reference's label-sorted queue; returns
-    (ordering dict, children with lists sorted by (ordering, label))."""
+    (ordering dict, children with lists sorted by (ordering, label)).
+
+    The reference re-sorts the whole queue by label before every pop
+    (stable, so equal labels keep insertion order); a heap keyed by
+    (label, insertion counter) pops in exactly that order in O(log k).
+    """
     indeg = {}
     zero = set(vertices)
     for u, cs in children.items():
         for v in cs:
             indeg[v] = indeg.get(v, 0) + 1
             zero.discard(v)
-    q = list(zero)
+    import heapq
+    cnt = 0
+    q = []
+    for x in zero:
+        q.append((labels[x], cnt, x))
+        cnt += 1
+    heapq.heapify(q)
     ordering = {}
     visited = len(vertices)
     while q:
-        q.sort(key=lambda x: labels[x])
-        e = q.pop(0)
+        _, _, e = heapq.heappop(q)
         ordering[e] = visited
         for k in children[e]:
             if k in indeg:
                 if indeg[k] == 1:
                     indeg.pop(k)
-                    q.append(k)
+                    heapq.heappush(q, (labels[k], cnt, k))
+                    cnt += 1
                 else:
                     indeg[k] -= 1
         visited -= 1
@@ -114,22 +125,21 @@ def _hash_tree(vertices, children, ordering, labels):
     return info, hash_map, v_ordered
 
 
-def _merge(dag, acc, merge_features=True):
+def _merge(dag, acc, merge_features=True, col=None):
     """Merge one DAG into the accumulator keyed by subtree ID
-    (reference big_dag_append()); acc = (info, hash_map, edges, labels)."""
+    (reference big_dag_append()); acc = (info, hash_map, edges, labels).
+
+    With ``merge_features`` (within-graph merging) frequencies are plain
+    ints.  Without it (the cross-graph bigDAG), each node's frequency is
+    a sparse ``{graph column: count}`` dict written at ``col`` — the
+    reference densifies a per-graph list instead (odd_sth.py:514-608),
+    which is O(nodes x graphs); the dict keeps it O(nnz).
+    """
     info, hash_map, v_ordered, children, labels = dag
-    nf = 1
     if acc is None:
         D_info, D_hash, D_edges, D_labels = {}, {}, {}, {}
     else:
         D_info, D_hash, D_edges, D_labels = acc
-        if not merge_features:
-            first = True
-            for v in D_info:
-                D_info[v][1].append(0)
-                if first:
-                    nf = len(D_info[v][1])
-                    first = False
     idx = len(D_info)
     for q in v_ordered:
         key = info[q][2]
@@ -138,7 +148,8 @@ def _merge(dag, acc, merge_features=True):
             if merge_features:
                 D_info[node][1] += info[q][1]
             else:
-                D_info[node][1][-1] += info[q][1]
+                f = D_info[node][1]
+                f[col] = f.get(col, 0) + info[q][1]
         else:
             D_labels[idx] = labels[q]
             d_edges = []
@@ -152,8 +163,7 @@ def _merge(dag, acc, merge_features=True):
                         seen.add(node)
             D_edges[idx] = d_edges
             D_hash[key] = [idx]
-            freq = (info[q][1] if merge_features
-                    else (nf - 1) * [0] + [info[q][1]])
+            freq = info[q][1] if merge_features else {col: info[q][1]}
             # position 0 mirrors the reference exactly (odd_sth.py:604):
             # the inserting frequency, NOT the subtree size d from
             # hash_trees — the reference's C weights are the frequency of
@@ -200,10 +210,15 @@ class OddSth(Kernel):
 
     def parse_input(self, X):
         graphs = normalize_input(X)
-        out = copy.deepcopy(self.X) if self._method_calling == 3 else None
-        for g in graphs:
+        if self._method_calling == 3:
+            out = copy.deepcopy(self.X)
+            col0 = self._nx
+        else:
+            out = None
+            col0 = 0
+        for ci, g in enumerate(graphs):
             out = _merge(_graph_big_dag(g, self.h_), out,
-                         merge_features=False)
+                         merge_features=False, col=col0 + ci)
         if self._method_calling in (1, 2):
             self._nx = len(graphs)
         else:
@@ -214,19 +229,18 @@ class OddSth(Kernel):
     @staticmethod
     def _stream(big_dag, col_range):
         """COO (graph, node, freq*sqrt(C)) items for graph columns in
-        ``col_range``."""
+        ``col_range``; O(nnz) over the sparse frequency dicts."""
         D_info = big_dag[0]
         gids, feats, wts = [], [], []
+        start, stop = col_range.start, col_range.stop
         for i, v in enumerate(D_info.keys()):
             C = D_info[v][0]
             if C == 0:
                 continue
             sc = np.sqrt(C)
-            freq = D_info[v][1]
-            for j in col_range:
-                f = freq[j] if j < len(freq) else 0
-                if f:
-                    gids.append(j - col_range.start)
+            for j, f in D_info[v][1].items():
+                if start <= j < stop and f:
+                    gids.append(j - start)
                     feats.append(i)
                     wts.append(f * sc)
         return (np.asarray(gids, np.int32), np.asarray(feats, np.int32),
