@@ -8,11 +8,20 @@ product of those count vectors, with transform-time features unseen at
 fit contributing nothing (enum-extension semantics, :477-487).
 
 TPU design: APSP = batched Floyd-Warshall over V-size-bucketed dense
-batches (ops/floyd_warshall.py).  Triplets are hashed to a
-(distance-bits, label-pair) uint32 pair per (u, v), compacted to dense
-feature ids with the same sort-based compaction used by WL, then pushed
-through the chunked counts-GEMM.  Exact float distance equality matches
-the reference's dict-key equality for weighted graphs.
+batches (ops/floyd_warshall.py).  Two feature paths:
+
+* **direct-index** (unit edge weights, the TU-dataset norm): distances
+  are exact small integers, so the triplet id
+  ``(l_u * L + l_v) * D + d`` is computed ON DEVICE — no per-pair
+  stream ever crosses the device link (the id-compaction alternative
+  moves ~9 bytes per vertex pair, ~150 MB at NCI1 scale).  All buckets
+  concatenate into one chunked counts-GEMM; the integer Gram is fetched
+  via lossless byte planes (ops/gram.fetch_gram).
+* **hash-compaction fallback** (weighted graphs, or feature spaces past
+  ``_DIRECT_MAX_WIDTH``): per-pair (distance-bits, label-pair) uint32
+  hashes are compacted to dense ids by host np.unique (the on-device
+  variadic sort is unstable/slow to compile at tens of millions of pairs) — exact float distance equality matches the reference's
+  dict-key equality.
 
 ``ShortestPathAttr`` — reference computes an O(n^4) Python loop
 (shortest_path.py:131-165).  Here each pair kernel is reformulated per
@@ -24,6 +33,7 @@ loop (derivation: grouping index pairs by equal distance).
 
 from __future__ import annotations
 
+import functools
 import warnings
 
 import numpy as np
@@ -33,9 +43,9 @@ import jax.numpy as jnp
 from .base import Kernel, normalize_input
 from ..batch import bucket_size
 from ..ops.floyd_warshall import batched_floyd_warshall, INF
-from ..ops.wl import compact_ids
+from ..ops.wl import host_compact
 from ..ops.gram import (coo_counts_gram, coo_counts_gram_rect, counts_diag,
-                        normalize_gram)
+                        fetch_gram, normalize_gram)
 
 __all__ = ["ShortestPath", "ShortestPathAttr"]
 
@@ -64,11 +74,38 @@ def _triplet_hashes(S, labels, mask):
     lu = labels[:, :, None].astype(jnp.uint32)
     lv = labels[:, None, :].astype(jnp.uint32)
     h2 = lu * jnp.uint32(0x10001) + lv
+    # zero invalid lanes: the (compressing) tunneled transport then
+    # moves only the ~20-25% valid fraction of the padded pair grid
+    h1 = jnp.where(valid, h1, jnp.uint32(0))
+    h2 = jnp.where(valid, h2, jnp.uint32(0))
     return (h1.reshape(-1), h2.reshape(-1), valid.reshape(-1))
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _direct_ids(adj, labels, mask, gid_base, L, D):
+    """FW + direct triplet ids for one bucket (unit-weight path).
+
+    Returns flat (ids int32, gids int32, valid bool), each [nb * V * V].
+    """
+    S = batched_floyd_warshall(adj, mask)
+    V = S.shape[1]
+    valid = (mask[:, :, None] & mask[:, None, :]
+             & ~jnp.eye(V, dtype=bool)[None] & (S < INF / 2))
+    d = jnp.clip(S.astype(jnp.int32), 0, D - 1)
+    lu = labels[:, :, None].astype(jnp.int32)
+    lv = labels[:, None, :].astype(jnp.int32)
+    ids = (lu * L + lv) * D + d
+    gids = jnp.broadcast_to(gid_base[:, None, None],
+                            (adj.shape[0], V, V))
+    return ids.reshape(-1), gids.reshape(-1), valid.reshape(-1)
 
 
 class ShortestPath(Kernel):
     """Labeled/unlabeled shortest-path kernel."""
+
+    # direct-index feature-space cap: L^2 * D label-distance cells
+    # (= 64 GEMM chunks of 4096); larger spaces use hash compaction
+    _DIRECT_MAX_WIDTH = 1 << 18
 
     def __init__(self, n_jobs=None, normalize=False, verbose=False,
                  algorithm_type="auto", with_labels=True):
@@ -78,16 +115,18 @@ class ShortestPath(Kernel):
         self.algorithm_type = algorithm_type
         self.with_labels = with_labels
 
+    # ------------------------------------------------------------------ #
     def parse_input(self, X):
+        """-> per-bucket dense host arrays + label metadata; all per-pair
+        work stays on device inside ``_gram``/``_diag``."""
         graphs = normalize_input(X)
-        return self._extract_stream(graphs)
-
-    def _extract_stream(self, graphs):
-        """-> dict of flat (h1, h2, gids, valid) numpy arrays over all
-        ordered vertex pairs of all graphs."""
-        buckets = _size_buckets(graphs)
-        h1s, h2s, gids, valids = [], [], [], []
-        for V, idxs in sorted(buckets.items()):
+        if self._method_calling in (1, 2):
+            self._enum = {}
+        elif not hasattr(self, "_enum"):
+            raise ValueError("fit before transform")
+        buckets = []
+        unit = True
+        for V, idxs in sorted(_size_buckets(graphs).items()):
             nb = len(idxs)
             A = np.zeros((nb, V, V), dtype=np.float32)
             L = np.zeros((nb, V), dtype=np.int32)
@@ -103,29 +142,20 @@ class ShortestPath(Kernel):
                         raise ValueError(
                             "ShortestPath with_labels=True requires "
                             "node-labeled graphs")
-                    if self._method_calling in (1, 2) and \
-                            not hasattr(self, "_enum"):
-                        self._enum = {}
                     for v in range(g.n):
                         lab = labs[v]
-                        if lab not in self._enum:
-                            self._enum[lab] = len(self._enum)
-                        L[bi, v] = self._enum[lab]
-            S = batched_floyd_warshall(jnp.asarray(A), jnp.asarray(M))
-            h1, h2, valid = _triplet_hashes(
-                S, jnp.asarray(L), jnp.asarray(M))
-            h1s.append(np.asarray(h1))
-            h2s.append(np.asarray(h2))
-            valids.append(np.asarray(valid))
-            gid = np.repeat(np.asarray(idxs, np.int32), V * V)
-            gids.append(gid)
-        return {
-            "n": len(graphs),
-            "h1": np.concatenate(h1s),
-            "h2": np.concatenate(h2s),
-            "gids": np.concatenate(gids),
-            "valid": np.concatenate(valids),
-        }
+                        idx = self._enum.get(lab)
+                        if idx is None:
+                            idx = len(self._enum)
+                            self._enum[lab] = idx
+                        L[bi, v] = idx
+            if unit:
+                w = A[A != 0]
+                if w.size and not np.all(w == 1.0):
+                    unit = False
+            buckets.append((np.asarray(idxs, np.int32), A, L, M))
+        return {"n": len(graphs), "buckets": buckets, "unit": unit,
+                "max_V": max((b[1].shape[1] for b in buckets), default=1)}
 
     def fit(self, X, y=None):
         self._method_calling = 1
@@ -136,6 +166,50 @@ class ShortestPath(Kernel):
         self.X = self.parse_input(X)
         self._X_diag = None
         return self
+
+    # ------------------------------------------------------------------ #
+    def _direct_eligible(self, *parsed):
+        L = max(len(self._enum), 1) if self.with_labels else 1
+        D = max(p["max_V"] for p in parsed)
+        width = L * L * D
+        ok = (all(p["unit"] for p in parsed)
+              and width <= self._DIRECT_MAX_WIDTH)
+        return ok, L, D, width
+
+    def _direct_stream(self, parsed, L, D):
+        """Concatenated on-device (ids, gids, valid) over all buckets."""
+        ids_l, gids_l, val_l = [], [], []
+        for idxs, A, Lb, M in parsed["buckets"]:
+            i, g, v = _direct_ids(jnp.asarray(A), jnp.asarray(Lb),
+                                  jnp.asarray(M), jnp.asarray(idxs), L, D)
+            ids_l.append(i)
+            gids_l.append(g)
+            val_l.append(v)
+        if len(ids_l) == 1:
+            return ids_l[0], gids_l[0], val_l[0]
+        return (jnp.concatenate(ids_l), jnp.concatenate(gids_l),
+                jnp.concatenate(val_l))
+
+    def _hash_stream(self, parsed, gid_offset=0):
+        """Fallback: flat host (h1, h2, gids, valid) arrays over all
+        ordered vertex pairs (exact float distances as hash keys)."""
+        h1s, h2s, gids, valids = [], [], [], []
+        for idxs, A, Lb, M in parsed["buckets"]:
+            V = A.shape[1]
+            S = batched_floyd_warshall(jnp.asarray(A), jnp.asarray(M))
+            h1, h2, valid = _triplet_hashes(
+                S, jnp.asarray(Lb), jnp.asarray(M))
+            h1s.append(np.asarray(h1))
+            h2s.append(np.asarray(h2))
+            valids.append(np.asarray(valid))
+            gids.append(np.repeat(idxs + np.int32(gid_offset), V * V))
+        return {
+            "n": parsed["n"],
+            "h1": np.concatenate(h1s),
+            "h2": np.concatenate(h2s),
+            "gids": np.concatenate(gids),
+            "valid": np.concatenate(valids),
+        }
 
     @staticmethod
     def _pad_stream(st):
@@ -155,31 +229,49 @@ class ShortestPath(Kernel):
         out["n"] = st["n"]
         return out
 
+    # ------------------------------------------------------------------ #
     def _gram(self, px, py=None):
         if py is None:
-            st = self._pad_stream(px)
-            ids, nu = compact_ids(jnp.asarray(st["h1"]),
-                                  jnp.asarray(st["h2"]),
-                                  jnp.asarray(st["valid"]))
-            L = bucket_size(int(nu))
+            ok, L, D, width = self._direct_eligible(px)
+            if ok:
+                ids, gids, valid = self._direct_stream(px, L, D)
+                ones = jnp.ones(ids.shape[0], jnp.float32)
+                return fetch_gram(coo_counts_gram(
+                    gids, ids, ones, valid, px["n"], bucket_size(width)))
+            st = self._pad_stream(self._hash_stream(px))
+            ids, nu = host_compact(st["h1"], st["h2"], st["valid"])
+            Lw = bucket_size(int(nu))
             ones = np.ones(len(st["gids"]), np.float32)
-            from ..ops.gram import fetch_gram
             return fetch_gram(coo_counts_gram(
-                st["gids"], ids, ones, st["valid"], st["n"], L))
-        # joint stream: consistent feature ids across X and Y
+                st["gids"], ids, ones, st["valid"], st["n"], Lw))
+
+        # transform: rows = Y graphs, cols = X (fit) graphs
+        ok, L, D, width = self._direct_eligible(px, py)
+        nx, ny = px["n"], py["n"]
+        if ok:
+            xi, xg, xv = self._direct_stream(px, L, D)
+            yi, yg, yv = self._direct_stream(py, L, D)
+            ones_x = jnp.ones(xi.shape[0], jnp.float32)
+            ones_y = jnp.ones(yi.shape[0], jnp.float32)
+            W = bucket_size(width)
+            K = fetch_gram(coo_counts_gram_rect(
+                yg, yi, ones_y, yv, xg, xi, ones_x, xv, ny, nx, W))
+            self._Y_diag_cache = np.asarray(
+                counts_diag(yg, yi, ones_y, yv, ny, W))
+            return K
+        # joint hash stream: consistent feature ids across X and Y
+        sx = self._hash_stream(px)
+        sy = self._hash_stream(py, gid_offset=nx)
         joint = {
-            "n": px["n"] + py["n"],
-            "h1": np.concatenate([px["h1"], py["h1"]]),
-            "h2": np.concatenate([px["h2"], py["h2"]]),
-            "gids": np.concatenate([px["gids"], py["gids"] + px["n"]]),
-            "valid": np.concatenate([px["valid"], py["valid"]]),
+            "n": nx + ny,
+            "h1": np.concatenate([sx["h1"], sy["h1"]]),
+            "h2": np.concatenate([sx["h2"], sy["h2"]]),
+            "gids": np.concatenate([sx["gids"], sy["gids"]]),
+            "valid": np.concatenate([sx["valid"], sy["valid"]]),
         }
         st = self._pad_stream(joint)
-        ids, nu = compact_ids(jnp.asarray(st["h1"]),
-                              jnp.asarray(st["h2"]),
-                              jnp.asarray(st["valid"]))
-        L = bucket_size(int(nu))
-        nx, ny = px["n"], py["n"]
+        ids, nu = host_compact(st["h1"], st["h2"], st["valid"])
+        Lw = bucket_size(int(nu))
         gids = st["gids"]
         is_y = gids >= nx
         vy = st["valid"] & is_y
@@ -187,11 +279,10 @@ class ShortestPath(Kernel):
         gy = np.where(is_y, gids - nx, 0).astype(np.int32)
         gx = np.where(is_y, 0, gids).astype(np.int32)
         ones = np.ones(len(gids), np.float32)
-        from ..ops.gram import fetch_gram
         K = fetch_gram(coo_counts_gram_rect(
-            gy, ids, ones, vy, gx, ids, ones, vx, ny, nx, L))
+            gy, ids, ones, vy, gx, ids, ones, vx, ny, nx, Lw))
         self._Y_diag_cache = np.asarray(
-            counts_diag(gy, ids, ones, vy, ny, L))
+            counts_diag(gy, ids, ones, vy, ny, Lw))
         return K
 
     def _diag(self, parsed):
@@ -199,14 +290,18 @@ class ShortestPath(Kernel):
                 and parsed is getattr(self, "_Y", None)
                 and hasattr(self, "_Y_diag_cache")):
             return self._Y_diag_cache
-        st = self._pad_stream(parsed)
-        ids, nu = compact_ids(jnp.asarray(st["h1"]),
-                              jnp.asarray(st["h2"]),
-                              jnp.asarray(st["valid"]))
-        L = bucket_size(int(nu))
+        ok, L, D, width = self._direct_eligible(parsed)
+        if ok:
+            ids, gids, valid = self._direct_stream(parsed, L, D)
+            ones = jnp.ones(ids.shape[0], jnp.float32)
+            return np.asarray(counts_diag(
+                gids, ids, ones, valid, parsed["n"], bucket_size(width)))
+        st = self._pad_stream(self._hash_stream(parsed))
+        ids, nu = host_compact(st["h1"], st["h2"], st["valid"])
+        Lw = bucket_size(int(nu))
         ones = np.ones(len(st["gids"]), np.float32)
         return np.asarray(counts_diag(
-            st["gids"], ids, ones, st["valid"], st["n"], L))
+            st["gids"], ids, ones, st["valid"], st["n"], Lw))
 
 
 class ShortestPathAttr(Kernel):

@@ -120,7 +120,7 @@ PLAN = [
     ("PK", ["MUTAG", "ENZYMES", "NCI1"]),
     ("PM", ["MUTAG", "ENZYMES", "NCI1"]),
     ("ODD-STh", ["MUTAG", "ENZYMES"]),
-    ("NSPDK", ["MUTAG", "ENZYMES"]),
+    ("NSPDK", ["MUTAG", "ENZYMES", "NCI1"]),
     ("WL-OA", ["MUTAG", "ENZYMES"]),
     ("CORE-WL", ["MUTAG", "ENZYMES", "NCI1"]),
     ("CORE-SP", ["MUTAG", "ENZYMES", "NCI1"]),
@@ -136,9 +136,15 @@ PLAN = [
 QUICK_PLAN = [(k, [d for d in ds if d == "MUTAG"]) for k, ds in PLAN]
 
 
-def load(name, needs_labels=True):
+# kernels needing node attributes instead of discrete labels
+FEATURE_OVERRIDE = {"ML": ("na", 6)}
+
+
+def load(name, features=None):
     spec = dict(DATASETS[name])
-    if spec["features"] is None and needs_labels:
+    if features is not None:
+        spec["features"] = features
+    elif spec["features"] is None:
         spec["features"] = ("nl", 2)  # degree-like labels stand-in
     n = spec.pop("n_graphs")
     train, _ = generate_dataset(n_graphs=n + 1, n_graphs_test=1,
@@ -168,9 +174,11 @@ def main():
     results = {}
     for kname, dnames in plan:
         for dname in dnames:
-            if dname not in cache:
-                cache[dname] = load(dname)
-            data = cache[dname]
+            feats = FEATURE_OVERRIDE.get(kname)
+            ckey = (dname, feats)
+            if ckey not in cache:
+                cache[ckey] = load(dname, features=feats)
+            data = cache[ckey]
             times = []
             try:
                 for _ in range(args.repeats):
