@@ -16,7 +16,8 @@ import tempfile
 
 import numpy as np
 
-__all__ = ["clique_values", "ap_hash_batch", "have_native"]
+__all__ = ["clique_values", "ap_hash_batch", "connected_subsets_native",
+           "have_native"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src")
@@ -27,7 +28,8 @@ _tried = False
 
 def _build():
     srcs = [os.path.join(_SRC, "clique_kernel.cpp"),
-            os.path.join(_SRC, "ap_hash.cpp")]
+            os.path.join(_SRC, "ap_hash.cpp"),
+            os.path.join(_SRC, "consubg.cpp")]
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
            "-o", _LIB_PATH] + srcs
     subprocess.run(cmd, check=True, capture_output=True)
@@ -57,6 +59,14 @@ def _load():
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")]
         lib.ap_hash_batch.restype = None
+        lib.consubg.argtypes = [
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_int))]
+        lib.consubg.restype = ctypes.c_long
+        lib.consubg_free.argtypes = [ctypes.POINTER(ctypes.c_int)]
+        lib.consubg_free.restype = None
         _lib = lib
     except Exception:  # pragma: no cover - no compiler / load failure
         _lib = None
@@ -141,3 +151,34 @@ def clique_values(cv, ce, kmax):
     else:
         _clique_values_py(nv, kmax, cv, ce, tv)
     return tv
+
+
+def connected_subsets_native(G, k):
+    """Native ESU enumeration of connected k-subsets of ``G``
+    ({vertex: iterable of neighbors}); returns a set of frozensets of
+    the original vertex symbols, or ``None`` when no native library is
+    available (caller falls back to the Python enumerator)."""
+    lib = _load()
+    if lib is None:
+        return None
+    symbols = list(G.keys())
+    index = {s: i for i, s in enumerate(symbols)}
+    n = len(symbols)
+    offs = np.zeros(n + 1, np.int32)
+    adj_l = []
+    for i, s in enumerate(symbols):
+        nbrs = [index[u] for u in G[s] if u in index and u != s]
+        adj_l.extend(nbrs)
+        offs[i + 1] = len(adj_l)
+    adj = np.asarray(adj_l, np.int32) if adj_l else np.zeros(1, np.int32)
+    outp = ctypes.POINTER(ctypes.c_int)()
+    cnt = lib.consubg(n, offs, np.ascontiguousarray(adj), int(k),
+                      ctypes.byref(outp))
+    try:
+        if cnt == 0:
+            return set()
+        flat = np.ctypeslib.as_array(outp, shape=(cnt * int(k),)).copy()
+    finally:
+        lib.consubg_free(outp)
+    rows = flat.reshape(cnt, int(k))
+    return {frozenset(symbols[int(v)] for v in row) for row in rows}

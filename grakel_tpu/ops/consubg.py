@@ -7,8 +7,9 @@ subgraph.  Implemented as the standard anchored-extension enumeration
 with forbidden sets, which emits each subset exactly once.
 
 (The recursion is intrinsically host-bound — combinatorial backtracking
-has no XLA shape — so like the reference's Cython it stays native-side;
-a C++ port lives on the roadmap for large graphs.)
+has no XLA shape — so like the reference's Cython it stays native-side:
+the hot path is the C++ ESU enumerator in native/src/consubg.cpp, with
+this module's Python enumeration as the no-compiler fallback.)
 """
 
 from __future__ import annotations
@@ -18,6 +19,10 @@ __all__ = ["connected_subsets"]
 
 def connected_subsets(G, k):
     """All connected k-subsets of ``G`` ({v: set(neighbors)})."""
+    from ..native import connected_subsets_native
+    native = connected_subsets_native(G, k)
+    if native is not None:
+        return native
     out = set()
     if k <= 0:
         return out
