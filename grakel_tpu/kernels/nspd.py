@@ -78,15 +78,19 @@ def ap_hash(s):
     return h
 
 
-def _encode_graph(D, vertices, edges, glv, gle):
-    """Canonical neighborhood encoding string (reference :394-445); the
-    AP hash is applied in batch afterwards (native C, see
+def _encode_graph(per_i, vertices, sv, edges, gle):
+    """Canonical neighborhood encoding string (reference :394-445).
+
+    ``per_i[i]`` is the graph-wide list of (token, j) pairs for source
+    ``i`` — token = "dist,label(j)" — PRESORTED by token, so each
+    vertex label is a filtered scan instead of a rebuild+sort (the
+    reference re-sorts per neighborhood, O(ball^2 log) per vertex).
+    The AP hash is applied in batch afterwards (native C, see
     grakel_tpu.native.ap_hash_batch)."""
     parts = []
     Lv = {}
     for i in vertices:
-        label = "|".join(sorted(str(D[(i, j)]) + "," + str(glv[j])
-                                for j in vertices if (i, j) in D))
+        label = "|".join(t for (t, j) in per_i[i] if j in sv)
         parts.append(label)
         parts.append(".")
         Lv[i] = label
@@ -114,6 +118,11 @@ class NeighborhoodSubgraphPairwiseDistance(Kernel):
     # ------------------------------------------------------------------ #
     def _hash_neighborhoods(self, n, edges, Lv, Le, N, D_pair):
         from ..native import ap_hash_batch
+        per_i = [[] for _ in range(n)]
+        for (i, j), d in D_pair.items():
+            per_i[i].append((str(d) + "," + str(Lv[j]), j))
+        for lst in per_i:
+            lst.sort()
         keys, encodings = [], []
         sel = sorted(edges)
         for v in range(n):
@@ -121,10 +130,13 @@ class NeighborhoodSubgraphPairwiseDistance(Kernel):
             for radius in range(self.r, -1, -1):
                 sub_vertices = sorted(N[radius][v])
                 sv = set(sub_vertices)
+                # NOTE: ``re`` must be a set built exactly like the
+                # reference's (:382-384) — the encoding iterates it, so
+                # set-iteration order is part of feature identity.
                 re = {(i, j) for (i, j) in re if i in sv and j in sv}
                 keys.append((radius, v))
                 encodings.append(
-                    _encode_graph(D_pair, sub_vertices, re, Lv, Le))
+                    _encode_graph(per_i, sub_vertices, sv, re, Le))
         hashes = ap_hash_batch(encodings)
         return {k: int(h) for k, h in zip(keys, hashes)}
 
