@@ -104,12 +104,18 @@ class GraphBatch:
 
     @classmethod
     def from_graphs(cls, graphs, node_label_enum=None, edge_label_enum=None,
-                    extend_enums=True, node_pad=None, edge_pad=None):
+                    extend_enums=True, node_pad=None, edge_pad=None,
+                    to_device=True):
         """Pack a list of :class:`grakel_tpu.graph.Graph` into one batch.
 
         ``node_label_enum`` / ``edge_label_enum`` are mutable dicts mapping
         raw labels to compact ids (see :func:`enumerate_labels`); pass the
         fit-time dicts at transform time for consistent ids.
+
+        ``to_device=False`` keeps the flat arrays as numpy — callers that
+        may run fully on host (e.g. the WL fast path below its size
+        thresholds) avoid ~9 host->device uploads they would never use;
+        ``jnp.asarray`` converts lazily where a device path needs them.
         """
         n = len(graphs)
         n_nodes = np.array([g.n for g in graphs], dtype=np.int64)
@@ -185,17 +191,18 @@ class GraphBatch:
         edge_lab = np.zeros(E_pad, dtype=np.int32)
         edge_lab[:E] = el
 
+        conv = jnp.asarray if to_device else (lambda a: a)
         return cls(
             n_graphs=n,
-            node_graph_ids=jnp.asarray(node_gid),
-            node_mask=jnp.asarray(node_msk),
-            node_labels=jnp.asarray(node_lab),
-            senders=jnp.asarray(send),
-            receivers=jnp.asarray(recv),
-            edge_mask=jnp.asarray(edge_msk),
-            edge_weights=jnp.asarray(ew),
-            edge_labels=jnp.asarray(edge_lab),
-            edge_graph_ids=jnp.asarray(edge_gid),
+            node_graph_ids=conv(node_gid),
+            node_mask=conv(node_msk),
+            node_labels=conv(node_lab),
+            senders=conv(send),
+            receivers=conv(recv),
+            edge_mask=conv(edge_msk),
+            edge_weights=conv(ew),
+            edge_labels=conv(edge_lab),
+            edge_graph_ids=conv(edge_gid),
             n_nodes=n_nodes,
             n_edges=n_edges,
             node_offsets=offsets,

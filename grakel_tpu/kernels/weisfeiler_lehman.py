@@ -182,15 +182,21 @@ class WeisfeilerLehman(Kernel):
           byte-plane K fetch at the end.
         """
         from ..ops.gram import chunk_plan
-        batch = GraphBatch.from_graphs(graphs, node_label_enum={})
+        # numpy batch: the host-assembly path never touches the device,
+        # so skip the ~9 eager uploads; device paths convert below.
+        batch = GraphBatch.from_graphs(graphs, node_label_enum={},
+                                       to_device=False)
         if max(batch.num_node_labels, 1) <= self._HOST_ASSEMBLY_MAX_L0:
             return self._host_assembled_sym(batch)
         n = batch.n_graphs
-        gids = batch.node_graph_ids
-        gids_np = np.asarray(gids)
-        valid = batch.node_mask
+        gids_np = np.asarray(batch.node_graph_ids)
+        gids = jnp.asarray(gids_np)
         valid_np = np.asarray(batch.node_mask)
-        labels = batch.node_labels
+        valid = jnp.asarray(valid_np)
+        labels = jnp.asarray(batch.node_labels)
+        senders = jnp.asarray(batch.senders)
+        receivers = jnp.asarray(batch.receivers)
+        edge_mask = jnp.asarray(batch.edge_mask)
         L = max(batch.num_node_labels, 1)
         gram_labels, gram_valid = labels, valid
         diag_corr = np.zeros(n, np.float64)
@@ -199,7 +205,7 @@ class WeisfeilerLehman(Kernel):
         for _ in range(self.n_iter):
             nc, ch = chunk_plan(L)
             K, H = wl_ops.wl_fused_step(
-                labels, batch.senders, batch.receivers, batch.edge_mask,
+                labels, senders, receivers, edge_mask,
                 gram_labels, gram_valid, gids, valid, K, n, nc, ch)
             H = np.asarray(H)  # [2, N] — one D2H transfer
             ids, nu, counts = wl_ops.host_compact_counts(
@@ -255,10 +261,13 @@ class WeisfeilerLehman(Kernel):
                 return np.stack(wl_ops.host_hash_refine(
                     ids_np, send_np, recv_np, emask_np))
         else:
+            send_d = jnp.asarray(batch.senders)
+            recv_d = jnp.asarray(batch.receivers)
+            emask_d = jnp.asarray(batch.edge_mask)
+
             def refine(ids_np):
                 h1, h2 = wl_ops.wl_hash_refine(
-                    jnp.asarray(ids_np), batch.senders, batch.receivers,
-                    batch.edge_mask)
+                    jnp.asarray(ids_np), send_d, recv_d, emask_d)
                 H = jnp.stack([h1, h2])
                 try:
                     H.copy_to_host_async()
