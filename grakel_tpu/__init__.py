@@ -6,8 +6,33 @@ producing Gram matrices over graph datasets), built for padded batched
 device execution and multi-chip Gram tiling.
 """
 
-from .graph import Graph
-from .batch import GraphBatch
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: size-bucketed batching compiles
+    one program per (bucket, op) shape, which on a tunneled backend can
+    cost minutes on a cold start; the on-disk cache amortizes it across
+    processes.  Opt out with GRAKEL_TPU_NO_COMPILE_CACHE=1 or point
+    JAX_COMPILATION_CACHE_DIR elsewhere."""
+    if _os.environ.get("GRAKEL_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+        if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            path = _os.path.join(
+                _os.path.expanduser("~"), ".cache", "grakel_tpu_xla")
+            _os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
+from .graph import Graph  # noqa: E402
+from .batch import GraphBatch  # noqa: E402
 from .kernels import *          # noqa: F401,F403
 from .kernels import __all__ as _kernels_all
 

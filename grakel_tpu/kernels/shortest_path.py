@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from .base import Kernel, normalize_input
 from ..batch import bucket_size
 from ..ops.floyd_warshall import batched_floyd_warshall, INF
-from ..ops.wl import host_compact
+from ..ops.wl import host_compact, host_compact_counts, split_singletons
 from ..ops.gram import (coo_counts_gram, coo_counts_gram_rect, counts_diag,
                         fetch_gram, normalize_gram)
 
@@ -51,11 +51,13 @@ __all__ = ["ShortestPath", "ShortestPathAttr"]
 
 
 def _size_buckets(graphs):
-    """Group graph indices by padded vertex-count bucket (powers of two,
-    min 8) to bound both padding waste and recompilation."""
+    """Group graph indices by padded vertex-count bucket (multiples of 8,
+    the f32 sublane) — pair counts grow with V^2, so fine buckets cut the
+    padded-pair volume ~2x vs power-of-two buckets at a bounded number of
+    compiled shapes."""
     out = {}
     for i, g in enumerate(graphs):
-        v = max(8, 1 << (max(g.n - 1, 1)).bit_length())
+        v = max(8, -(-g.n // 8) * 8)
         out.setdefault(v, []).append(i)
     return out
 
@@ -81,22 +83,31 @@ def _triplet_hashes(S, labels, mask):
     return (h1.reshape(-1), h2.reshape(-1), valid.reshape(-1))
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def _direct_ids(adj, labels, mask, gid_base, L, D):
-    """FW + direct triplet ids for one bucket (unit-weight path).
-
-    Returns flat (ids int32, gids int32, valid bool), each [nb * V * V].
-    """
+@jax.jit
+def _fw_and_maxdist(adj, mask):
+    """FW for one bucket + the bucket's max finite distance (to size the
+    direct feature width by the OBSERVED distance range, not V)."""
     S = batched_floyd_warshall(adj, mask)
     V = S.shape[1]
     valid = (mask[:, :, None] & mask[:, None, :]
              & ~jnp.eye(V, dtype=bool)[None] & (S < INF / 2))
+    dmax = jnp.max(jnp.where(valid, S, 0.0))
+    return S, valid, dmax
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _direct_ids(S, labels, valid, gid_base, L, D):
+    """Direct triplet ids for one bucket (unit-weight path).
+
+    Returns flat (ids int32, gids int32, valid bool), each [nb * V * V].
+    """
+    V = S.shape[1]
     d = jnp.clip(S.astype(jnp.int32), 0, D - 1)
     lu = labels[:, :, None].astype(jnp.int32)
     lv = labels[:, None, :].astype(jnp.int32)
     ids = (lu * L + lv) * D + d
     gids = jnp.broadcast_to(gid_base[:, None, None],
-                            (adj.shape[0], V, V))
+                            (S.shape[0], V, V))
     return ids.reshape(-1), gids.reshape(-1), valid.reshape(-1)
 
 
@@ -169,19 +180,32 @@ class ShortestPath(Kernel):
 
     # ------------------------------------------------------------------ #
     def _direct_eligible(self, *parsed):
+        """(eligible, L) — the distance range D is determined on device
+        after FW (see ``_direct_stream``); eligibility is re-checked
+        against the final width there via the pessimistic bound
+        L^2 * max_V."""
         L = max(len(self._enum), 1) if self.with_labels else 1
-        D = max(p["max_V"] for p in parsed)
-        width = L * L * D
-        ok = (all(p["unit"] for p in parsed)
-              and width <= self._DIRECT_MAX_WIDTH)
-        return ok, L, D, width
+        ok = all(p["unit"] for p in parsed)
+        return ok, L
 
-    def _direct_stream(self, parsed, L, D):
-        """Concatenated on-device (ids, gids, valid) over all buckets."""
-        ids_l, gids_l, val_l = [], [], []
+    def _fw_all(self, parsed):
+        """Run FW for every bucket; returns ([(S, valid, idxs, Lb)...],
+        max finite distance over all buckets)."""
+        per = []
+        dmax = 0.0
         for idxs, A, Lb, M in parsed["buckets"]:
-            i, g, v = _direct_ids(jnp.asarray(A), jnp.asarray(Lb),
-                                  jnp.asarray(M), jnp.asarray(idxs), L, D)
+            S, valid, dm = _fw_and_maxdist(jnp.asarray(A), jnp.asarray(M))
+            per.append((S, valid, idxs, Lb))
+            dmax = max(dmax, float(dm))
+        return per, dmax
+
+    @staticmethod
+    def _direct_stream(fw_buckets, L, D):
+        """Concatenated on-device (ids, gids, valid) over FW buckets."""
+        ids_l, gids_l, val_l = [], [], []
+        for S, valid, idxs, Lb in fw_buckets:
+            i, g, v = _direct_ids(S, jnp.asarray(Lb), valid,
+                                  jnp.asarray(idxs), L, D)
             ids_l.append(i)
             gids_l.append(g)
             val_l.append(v)
@@ -232,25 +256,49 @@ class ShortestPath(Kernel):
     # ------------------------------------------------------------------ #
     def _gram(self, px, py=None):
         if py is None:
-            ok, L, D, width = self._direct_eligible(px)
+            ok, L = self._direct_eligible(px)
             if ok:
-                ids, gids, valid = self._direct_stream(px, L, D)
+                fw, dmax = self._fw_all(px)
+                D = int(dmax) + 1
+                width = L * L * D
+                ok = width <= self._DIRECT_MAX_WIDTH
+            if ok:
+                ids, gids, valid = self._direct_stream(fw, L, D)
                 ones = jnp.ones(ids.shape[0], jnp.float32)
                 return fetch_gram(coo_counts_gram(
                     gids, ids, ones, valid, px["n"], bucket_size(width)))
             st = self._pad_stream(self._hash_stream(px))
-            ids, nu = host_compact(st["h1"], st["h2"], st["valid"])
-            Lw = bucket_size(int(nu))
+            ids, nu, counts = host_compact_counts(
+                st["h1"], st["h2"], st["valid"])
+            # triplets occurring once only touch the diagonal; GEMM over
+            # the repeated ones (late WL-SP generations have millions of
+            # mostly-singleton triplets — the full-width chunked gram
+            # there is pathological)
+            gl, gv, n_rep, dcorr = split_singletons(
+                ids, counts, st["valid"], st["gids"], st["n"])
+            Lw = bucket_size(max(n_rep, 1))
             ones = np.ones(len(st["gids"]), np.float32)
-            return fetch_gram(coo_counts_gram(
-                st["gids"], ids, ones, st["valid"], st["n"], Lw))
+            K = fetch_gram(coo_counts_gram(
+                st["gids"], gl, ones, gv, st["n"], Lw))
+            if dcorr.any():
+                if not getattr(K.flags, "writeable", False):
+                    K = np.array(K)
+                n = st["n"]
+                K[np.arange(n), np.arange(n)] += dcorr.astype(K.dtype)
+            return K
 
         # transform: rows = Y graphs, cols = X (fit) graphs
-        ok, L, D, width = self._direct_eligible(px, py)
+        ok, L = self._direct_eligible(px, py)
         nx, ny = px["n"], py["n"]
         if ok:
-            xi, xg, xv = self._direct_stream(px, L, D)
-            yi, yg, yv = self._direct_stream(py, L, D)
+            fwx, dmx = self._fw_all(px)
+            fwy, dmy = self._fw_all(py)
+            D = int(max(dmx, dmy)) + 1
+            width = L * L * D
+            ok = width <= self._DIRECT_MAX_WIDTH
+        if ok:
+            xi, xg, xv = self._direct_stream(fwx, L, D)
+            yi, yg, yv = self._direct_stream(fwy, L, D)
             ones_x = jnp.ones(xi.shape[0], jnp.float32)
             ones_y = jnp.ones(yi.shape[0], jnp.float32)
             W = bucket_size(width)
@@ -270,19 +318,25 @@ class ShortestPath(Kernel):
             "valid": np.concatenate([sx["valid"], sy["valid"]]),
         }
         st = self._pad_stream(joint)
-        ids, nu = host_compact(st["h1"], st["h2"], st["valid"])
-        Lw = bucket_size(int(nu))
+        ids, nu, counts = host_compact_counts(
+            st["h1"], st["h2"], st["valid"])
+        # singleton triplets appear on one side only: zero contribution
+        # to the rectangular block; they re-enter the Y diagonal below
+        gl, gv, n_rep, dcorr_joint = split_singletons(
+            ids, counts, st["valid"], st["gids"], nx + ny)
+        Lw = bucket_size(max(n_rep, 1))
         gids = st["gids"]
         is_y = gids >= nx
-        vy = st["valid"] & is_y
-        vx = st["valid"] & ~is_y
+        vy = gv & is_y
+        vx = gv & ~is_y
         gy = np.where(is_y, gids - nx, 0).astype(np.int32)
         gx = np.where(is_y, 0, gids).astype(np.int32)
         ones = np.ones(len(gids), np.float32)
         K = fetch_gram(coo_counts_gram_rect(
-            gy, ids, ones, vy, gx, ids, ones, vx, ny, nx, Lw))
-        self._Y_diag_cache = np.asarray(
-            counts_diag(gy, ids, ones, vy, ny, Lw))
+            gy, gl, ones, vy, gx, gl, ones, vx, ny, nx, Lw))
+        self._Y_diag_cache = (np.asarray(counts_diag(
+            gy, gl, ones, vy, ny, Lw), np.float64)
+            + dcorr_joint[nx:nx + ny])
         return K
 
     def _diag(self, parsed):
@@ -290,18 +344,27 @@ class ShortestPath(Kernel):
                 and parsed is getattr(self, "_Y", None)
                 and hasattr(self, "_Y_diag_cache")):
             return self._Y_diag_cache
-        ok, L, D, width = self._direct_eligible(parsed)
+        ok, L = self._direct_eligible(parsed)
         if ok:
-            ids, gids, valid = self._direct_stream(parsed, L, D)
+            fw, dmax = self._fw_all(parsed)
+            D = int(dmax) + 1
+            width = L * L * D
+            ok = width <= self._DIRECT_MAX_WIDTH
+        if ok:
+            ids, gids, valid = self._direct_stream(fw, L, D)
             ones = jnp.ones(ids.shape[0], jnp.float32)
             return np.asarray(counts_diag(
                 gids, ids, ones, valid, parsed["n"], bucket_size(width)))
         st = self._pad_stream(self._hash_stream(parsed))
-        ids, nu = host_compact(st["h1"], st["h2"], st["valid"])
-        Lw = bucket_size(int(nu))
+        ids, nu, counts = host_compact_counts(
+            st["h1"], st["h2"], st["valid"])
+        gl, gv, n_rep, dcorr = split_singletons(
+            ids, counts, st["valid"], st["gids"], st["n"])
+        Lw = bucket_size(max(n_rep, 1))
         ones = np.ones(len(st["gids"]), np.float32)
         return np.asarray(counts_diag(
-            st["gids"], ids, ones, st["valid"], st["n"], Lw))
+            st["gids"], gl, ones, gv, st["n"], Lw),
+            np.float64) + dcorr
 
 
 class ShortestPathAttr(Kernel):

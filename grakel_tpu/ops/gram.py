@@ -87,16 +87,21 @@ def cpu_gemm(a, b=None):
 
 @jax.jit
 def _byte_planes(K):
-    """(low u8 plane, high u8 plane, packable?) for a f32 matrix.
+    """(3 u8 byte planes of uint32(K), #planes needed, packable?).
 
     ``packable`` is true iff every entry is an exact non-negative
-    integer < 2^16 — then ``lo + 256*hi`` reconstructs K losslessly.
+    integer < 2^24 (the f32 exact-integer range) — then
+    ``p0 + 256*p1 + 65536*p2`` reconstructs K losslessly.  ``nplanes``
+    is 2 when max < 2^16 (plane 2 all-zero) else 3.
     """
-    ok = jnp.all((K >= 0) & (K < 65536.0)
+    ok = jnp.all((K >= 0) & (K < 16777216.0)
                  & (K == jnp.round(K)))
-    u = K.astype(jnp.uint16)
-    return ((u & jnp.uint16(0xFF)).astype(jnp.uint8),
-            (u >> jnp.uint16(8)).astype(jnp.uint8), ok)
+    u = K.astype(jnp.uint32)
+    nplanes = jnp.where(jnp.max(u) < (1 << 16), 2, 3)
+    return ((u & 0xFF).astype(jnp.uint8),
+            ((u >> 8) & 0xFF).astype(jnp.uint8),
+            ((u >> 16) & 0xFF).astype(jnp.uint8),
+            nplanes, ok)
 
 
 def fetch_gram(Kd, min_elems=1 << 21):
@@ -105,19 +110,21 @@ def fetch_gram(Kd, min_elems=1 << 21):
 
     The tunneled TPU backend moves ~20-45 MB/s and compresses, so for
     large integer-valued count Grams (every unweighted F-style kernel)
-    two uint8 byte planes beat one f32 fetch ~2x: the high plane is
-    low-entropy and compresses away.  Small matrices skip the extra
-    dispatch round trips and fetch directly.  Non-integer or >=2^16
-    values fall back to the plain f32 fetch (checked on device).
+    uint8 byte planes beat one f32 fetch ~2x: the high planes are
+    low-entropy and compress away in transit.  Small matrices skip the
+    extra dispatch round trips and fetch directly.  Non-integer or
+    >= 2^24 values fall back to the plain f32 fetch (checked on device).
     """
     if (getattr(Kd, "size", 0) < min_elems
             or getattr(Kd, "dtype", None) != jnp.float32):
         return np.asarray(Kd)
-    lo, hi, ok = _byte_planes(Kd)
+    p0, p1, p2, nplanes, ok = _byte_planes(Kd)
     if not bool(ok):
         return np.asarray(Kd)
-    out = np.asarray(lo).astype(np.float32)
-    out += np.asarray(hi).astype(np.float32) * np.float32(256.0)
+    out = np.asarray(p0).astype(np.float32)
+    out += np.asarray(p1).astype(np.float32) * np.float32(256.0)
+    if int(nplanes) > 2:
+        out += np.asarray(p2).astype(np.float32) * np.float32(65536.0)
     return out
 
 
