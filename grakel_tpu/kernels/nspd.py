@@ -140,76 +140,120 @@ class NeighborhoodSubgraphPairwiseDistance(Kernel):
         hashes = ap_hash_batch(encodings)
         return {k: int(h) for k, h in zip(keys, hashes)}
 
+    def _graph_hash_pairs(self, g):
+        """Per-graph hashing stage: ``(H, pa, pb, pd)`` where ``H`` is
+        ``uint32[(r+1, n)]`` of rooted-neighborhood hashes and
+        ``(pa, pb, pd)`` the (A, B, distance-level) triples.
+
+        Uses the native C++ engine (native/src/nspd.cpp) when available;
+        the pure-Python fallback reproduces the reference's CPython
+        set-iteration encodings instead.  Hash VALUES differ between the
+        two paths but the induced feature-identity partition — and hence
+        every Gram — is identical (both encode the same content
+        deterministically); a process always uses one path consistently.
+        """
+        from ..native import nspd_hash_graph
+        n = g.n
+        Lv = g.get_labels(label_type="vertex")
+        Le = g.get_labels(label_type="edge")
+        if n and len(g.senders):
+            enc = g.senders.astype(np.int64) * n + g.receivers
+            u = np.unique(enc)
+            esrc = (u // n).astype(np.int32)
+            edst = (u % n).astype(np.int32)
+        else:
+            esrc = edst = np.zeros(0, np.int32)
+        out = nspd_hash_graph(
+            n, g.senders, g.receivers, esrc, edst,
+            [str(Lv[j]) for j in range(n)],
+            [str(Le[(int(s), int(r_))])
+             for s, r_ in zip(esrc, edst)],
+            self.r, self.d)
+        if out is not None:
+            return out
+        # pure-Python fallback
+        edges = set(zip(esrc.tolist(), edst.tolist()))
+        N, D, D_pair = g.produce_neighborhoods(
+            self.r, with_distances=True, d=self.d)
+        Hd = self._hash_neighborhoods(n, edges, Lv, Le, N, D_pair)
+        H = np.zeros((self.r + 1, n), np.uint32)
+        for (radius, v), h in Hd.items():
+            H[radius, v] = h
+        pa, pb, pd = [], [], []
+        for d in filterfalse(lambda x: x not in D, range(self.d + 1)):
+            for (A, B) in D[d]:
+                pa.append(A)
+                pb.append(B)
+                pd.append(d)
+        return (H, np.asarray(pa, np.int32), np.asarray(pb, np.int32),
+                np.asarray(pd, np.int32))
+
     def parse_input(self, X):
         graphs = normalize_input(X)
-        ng = 0
-        data = defaultdict(dict)
-        all_keys = defaultdict(dict)
-        for g in graphs:
-            Lv = g.get_labels(label_type="vertex")
-            Le = g.get_labels(label_type="edge")
-            edges = {(int(s), int(r_))
-                     for s, r_ in zip(g.senders, g.receivers)}
-            N, D, D_pair = g.produce_neighborhoods(
-                self.r, with_distances=True, d=self.d)
-            H = self._hash_neighborhoods(g.n, edges, Lv, Le, N, D_pair)
-            if self._method_calling in (1, 2):
-                for d in filterfalse(lambda x: x not in D,
-                                     range(self.d + 1)):
-                    for (A, B) in D[d]:
-                        for r_ in range(self.r + 1):
-                            key = (H[r_, A], H[r_, B])
-                            keys = all_keys[r_, d]
-                            idx = keys.get(key)
-                            if idx is None:
-                                idx = len(keys)
-                                keys[key] = idx
-                            data[r_, d][ng, idx] = \
-                                data[r_, d].get((ng, idx), 0) + 1
-            else:
-                for d in filterfalse(lambda x: x not in D,
-                                     range(self.d + 1)):
-                    for (A, B) in D[d]:
-                        for r_ in range(self.r + 1):
-                            keys = all_keys[r_, d]
-                            fit_keys = self._fit_keys[r_, d]
-                            key = (H[r_, A], H[r_, B])
-                            idx = fit_keys.get(key)
-                            if idx is None:
-                                idx = keys.get(key)
-                                if idx is None:
-                                    idx = len(keys) + len(fit_keys)
-                                    keys[key] = idx
-                            data[r_, d][ng, idx] = \
-                                data[r_, d].get((ng, idx), 0) + 1
-            ng += 1
+        ng = len(graphs)
         if ng == 0:
             raise ValueError("parsed input is empty")
+        # concatenate per-graph hashes + distance pairs (vertex ids
+        # offset into the concatenated hash columns)
+        H_l, pa_l, pb_l, pd_l, pg_l = [], [], [], [], []
+        off = 0
+        for gid, g in enumerate(graphs):
+            H, pa, pb, pd = self._graph_hash_pairs(g)
+            H_l.append(H)
+            pa_l.append(pa.astype(np.int64) + off)
+            pb_l.append(pb.astype(np.int64) + off)
+            pd_l.append(pd)
+            pg_l.append(np.full(len(pd), gid, np.int64))
+            off += g.n
+        Hcat = np.concatenate(H_l, axis=1) if off else \
+            np.zeros((self.r + 1, 0), np.uint32)
+        PA = np.concatenate(pa_l)
+        PB = np.concatenate(pb_l)
+        PD = np.concatenate(pd_l)
+        PG = np.concatenate(pg_l)
 
-        # per-level COO feature dicts {level: (rows, cols, vals, width)}
+        fit = self._method_calling in (1, 2)
+        if fit:
+            self._fit_keys = {}
         M = {}
-        if self._method_calling in (1, 2):
-            for key, d in data.items():
-                if len(d) == 0:
-                    continue
-                idxs, vals = zip(*d.items())
-                rows, cols = zip(*idxs)
-                M[key] = (np.asarray(rows, np.int32),
-                          np.asarray(cols, np.int32),
-                          np.asarray(vals, np.float32),
-                          len(all_keys[key]))
-            self._fit_keys = all_keys
+        for d in range(self.d + 1):
+            m = PD == d
+            if not m.any():
+                continue  # level absent, like the reference's missing D[d]
+            A, B, G = PA[m], PB[m], PG[m]
+            for r_ in range(self.r + 1):
+                keys = ((Hcat[r_, A].astype(np.uint64) << np.uint64(32))
+                        | Hcat[r_, B].astype(np.uint64))
+                uk = np.unique(keys)
+                if fit:
+                    col = np.searchsorted(uk, keys)
+                    width = len(uk)
+                    self._fit_keys[r_, d] = uk
+                else:
+                    xk = getattr(self, "_fit_keys", {}).get(
+                        (r_, d), np.zeros(0, np.uint64))
+                    xw = len(xk)
+                    pos = np.searchsorted(xk, uk)
+                    if xw:
+                        present = (pos < xw) & \
+                            (xk[np.minimum(pos, xw - 1)] == uk)
+                    else:
+                        present = np.zeros(len(uk), bool)
+                    # unseen keys get fresh columns past the fit width
+                    # (they only contribute to the Y normalization sums;
+                    # transform truncates columns >= xw)
+                    colmap = np.where(present, pos,
+                                      xw + np.cumsum(~present) - 1)
+                    col = colmap[np.searchsorted(uk, keys)]
+                    width = xw + int((~present).sum())
+                comb = G * np.int64(width) + col
+                ucomb, cnt = np.unique(comb, return_counts=True)
+                M[r_, d] = ((ucomb // width).astype(np.int32),
+                            (ucomb % width).astype(np.int32),
+                            cnt.astype(np.float32), int(width))
+        if fit:
             self._ngx = ng
         else:
-            for key, d in data.items():
-                if len(d) == 0:
-                    continue
-                idxs, vals = zip(*d.items())
-                rows, cols = zip(*idxs)
-                M[key] = (np.asarray(rows, np.int32),
-                          np.asarray(cols, np.int32),
-                          np.asarray(vals, np.float32),
-                          len(all_keys[key]) + len(self._fit_keys[key]))
             self._ngy = ng
         return M
 

@@ -17,7 +17,7 @@ import tempfile
 import numpy as np
 
 __all__ = ["clique_values", "ap_hash_batch", "connected_subsets_native",
-           "have_native"]
+           "nspd_hash_graph", "have_native"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src")
@@ -29,7 +29,8 @@ _tried = False
 def _build():
     srcs = [os.path.join(_SRC, "clique_kernel.cpp"),
             os.path.join(_SRC, "ap_hash.cpp"),
-            os.path.join(_SRC, "consubg.cpp")]
+            os.path.join(_SRC, "consubg.cpp"),
+            os.path.join(_SRC, "nspd.cpp")]
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
            "-o", _LIB_PATH] + srcs
     subprocess.run(cmd, check=True, capture_output=True)
@@ -67,6 +68,17 @@ def _load():
         lib.consubg.restype = ctypes.c_long
         lib.consubg_free.argtypes = [ctypes.POINTER(ctypes.c_int)]
         lib.consubg_free.restype = None
+        _i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        _i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        _u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        _u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.nspd_hash_graph.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_long, _i32, _i32,
+            ctypes.c_long, _i32, _i32,
+            _u8, _i64, _u8, _i64,
+            _u32, ctypes.c_long, _i32, _i32, _i32]
+        lib.nspd_hash_graph.restype = ctypes.c_long
         _lib = lib
     except Exception:  # pragma: no cover - no compiler / load failure
         _lib = None
@@ -136,6 +148,46 @@ def ap_hash_batch(strings):
     out = np.zeros(n, np.uint32)
     lib.ap_hash_batch(n, data, offsets, out)
     return out
+
+
+def _pack_strs(strs):
+    bs = [s.encode("utf-8") for s in strs]
+    offs = np.zeros(len(bs) + 1, np.int64)
+    offs[1:] = np.cumsum([len(b) for b in bs])
+    data = np.frombuffer(b"".join(bs) or b"\0", dtype=np.uint8)
+    return np.ascontiguousarray(data), offs
+
+
+def nspd_hash_graph(n, raw_src, raw_dst, esrc, edst, vlabels, elabels,
+                    R, D):
+    """Native NSPD per-graph engine (src/nspd.cpp): level neighborhoods,
+    distance pairs, canonical neighborhood encodings + AP hashes.
+
+    Returns ``(H, pa, pb, pd)`` — ``H`` is ``uint32[(R+1, n)]`` of
+    neighborhood hashes, ``(pa, pb, pd)`` the (source, target, level)
+    distance triples — or ``None`` when no native library is available.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    raw_src = np.ascontiguousarray(raw_src, np.int32)
+    raw_dst = np.ascontiguousarray(raw_dst, np.int32)
+    esrc = np.ascontiguousarray(esrc, np.int32)
+    edst = np.ascontiguousarray(edst, np.int32)
+    vb, vo = _pack_strs(vlabels)
+    eb, eo = _pack_strs(elabels)
+    H = np.zeros(max((R + 1) * n, 1), np.uint32)
+    cap = n * n + 2 * n + 1
+    pa = np.zeros(cap, np.int32)
+    pb = np.zeros(cap, np.int32)
+    pd = np.zeros(cap, np.int32)
+    cnt = lib.nspd_hash_graph(n, R, D, len(raw_src), raw_src, raw_dst,
+                              len(esrc), esrc, edst, vb, vo, eb, eo,
+                              H, cap, pa, pb, pd)
+    if cnt < 0:  # pragma: no cover - capacity bound is provably safe
+        raise RuntimeError("nspd_hash_graph capacity exceeded")
+    return (H[:(R + 1) * n].reshape(R + 1, n),
+            pa[:cnt], pb[:cnt], pd[:cnt])
 
 
 def clique_values(cv, ce, kmax):
