@@ -16,8 +16,16 @@ Reference semantics (grakel/kernels/multiscale_laplacian.py:91-350):
   computed in log space, clipped at exp(-30) (:302-329).
 
 The scheme is intrinsically host-sequential (sampled RandomState
-shuffles feed later stages); matrices are small (P x P, default 10), so
-this runs as vectorized numpy with the O(N^2) pairwise FLG loop on host.
+shuffles feed later stages), but every linear-algebra step batches:
+
+* ``calculate_C`` is evaluated ONCE per (graph, vertex, level) — the
+  reference recomputes it ``n_samples`` times per non-sampled vertex
+  inside the projection loop (multiscale_laplacian.py:268-271), which
+  is pure waste since it is deterministic — and runs as identity-padded
+  batched ``inv``/``eigvals`` over all neighborhoods of a level;
+* every FLG pairwise block (sampled Gram, projection rows, the final
+  N x N Gram via ``_gram``) is one batched ``eigvals`` over stacked
+  (P, P) sums instead of per-pair Python calls.
 """
 
 from __future__ import annotations
@@ -99,19 +107,6 @@ class MultiscaleLaplacian(Kernel):
             data[k] = {0: A, 1: phi, 2: inv(Lap)}
             neighborhoods[k] = g
 
-        def calculate_C(k, j, l):
-            if not isinstance(neighborhoods[k], dict):
-                neighborhoods[k] = neighborhoods[k].produce_neighborhoods(
-                    r=self.L, sort_neighbors=False)
-            indexes = list(neighborhoods[k][l][j])
-            Lp = laplacian(
-                data[k][0][indexes, :][:, indexes]).astype(float)
-            _inc_diag(Lp, self.heta)
-            U = data[k][1][indexes, :]
-            S = multi_dot((U.T, inv(Lp), U))
-            _inc_diag(S, self.gamma)
-            return (inv(S), np.sum(np.log(np.real(eigvals(S)))))
-
         if self._method_calling == 1:
             V = [(k, j) for k in range(ng)
                  for j in range(data[k][0].shape[0])]
@@ -129,55 +124,126 @@ class MultiscaleLaplacian(Kernel):
             for j in range(ng):
                 data[j][1] = data[j][1].dot(ksi)
             self._data_level = {0: ksi}
+            goff = np.cumsum([0] + [data[k][0].shape[0]
+                                    for k in range(ng)])
             for l in range(1, self.L + 1):
                 self.random_state_.shuffle(V)
-                vs = V[:ns]
-                K_proj = {k: np.zeros((data[k][0].shape[0], ns))
-                          for k in range(ng)}
-                K, C = np.zeros((len(vs), len(vs))), {}
-                for m, (k, j) in enumerate(vs):
-                    C[m] = calculate_C(k, j, l)
-                    K_proj[k][j, m] = K[m, m] = \
-                        self.pairwise_operation(C[m], C[m])
-                    for s, (k2, j2) in enumerate(vs):
-                        if s < m:
-                            K[s, m] = K[m, s] = K_proj[k2][j2, m] = \
-                                K_proj[k][j, s] = \
-                                self.pairwise_operation(C[s], C[m])
-                        else:
-                            break
-                for (k, j) in V[ns:]:
-                    for m in range(len(vs)):
-                        K_proj[k][j, m] = self.pairwise_operation(
-                            C[m], calculate_C(k, j, l))
+                # C once per (graph, vertex) in one padded batch,
+                # aligned to the freshly shuffled V; the sampled C[m]
+                # are its first ns rows (vs = V[:ns])
+                S_all, ld_all = self._batch_C(V, l, data, neighborhoods)
+                S_vs, ld_vs = S_all[:ns], ld_all[:ns]
+                # all FLG values against the sampled set in one block
+                K_all = self._flg_block(S_all, ld_all, S_vs, ld_vs)
+                K = K_all[:ns]
                 v, w = eig(K)
                 v, w = np.real(v), np.real(w.T)
                 vpos = np.argpartition(v, -self.P)[-self.P:] \
                     if v.shape[0] > self.P else np.arange(v.shape[0])
                 vpos = vpos[np.where(v[vpos] > positive_eigenvalue_limit)]
                 Q = w[vpos].T / np.sqrt(v[vpos])
+                # un-shuffle K_all rows into per-graph vertex order
+                order = np.empty(len(V), np.int64)
+                for i, (k, j) in enumerate(V):
+                    order[goff[k] + j] = i
+                K_grouped = K_all[order]
                 for j in range(ng):
-                    data[j][1] = K_proj[j].dot(Q)
+                    data[j][1] = K_grouped[goff[j]:goff[j + 1]].dot(Q)
+                C = {m: (S_vs[m], ld_vs[m]) for m in range(ns)}
                 self._data_level[l] = (C, Q)
         elif self._method_calling == 3:
             ksi = self._data_level[0]
             for j in range(ng):
                 data[j][1] = data[j][1].dot(ksi)
+            V = [(k, j) for k in range(ng)
+                 for j in range(data[k][0].shape[0])]
             for l in range(1, self.L + 1):
                 C, Q = self._data_level[l]
+                S_m = np.stack([C[m][0] for m in range(len(C))])
+                ld_m = np.array([C[m][1] for m in range(len(C))])
+                S_all, ld_all = self._batch_C(V, l, data, neighborhoods)
+                K_all = self._flg_block(S_all, ld_all, S_m, ld_m)
+                row = 0
                 for j in range(ng):
-                    K_proj = np.zeros((data[j][0].shape[0], len(C)))
-                    for n in range(data[j][0].shape[0]):
-                        for m in range(len(C)):
-                            K_proj[n, m] = self.pairwise_operation(
-                                C[m], calculate_C(j, n, l))
-                    data[j][1] = K_proj.dot(Q)
+                    nv = data[j][0].shape[0]
+                    data[j][1] = K_all[row:row + nv].dot(Q)
+                    row += nv
 
         out = []
         for k in range(ng):
             S = multi_dot((data[k][1].T, data[k][2], data[k][1]))
             _inc_diag(S, self.gamma)
             out.append((inv(S), np.sum(np.log(np.real(eigvals(S))))))
+        return out
+
+    # ------------------------------------------------------------------ #
+    def _batch_C(self, items, l, data, neighborhoods):
+        """calculate_C (reference multiscale_laplacian.py:240-258) for
+        every (graph, vertex) in ``items``, identity-padded and batched:
+        S = U^T Lp^-1 U + gamma I over the level-``l`` neighborhood.
+        Returns (S_inv[B, d, d], logdet[B])."""
+        for k in {k for (k, _) in items}:
+            if not isinstance(neighborhoods[k], dict):
+                neighborhoods[k] = neighborhoods[k].produce_neighborhoods(
+                    r=self.L, sort_neighbors=False)
+        idxs = [list(neighborhoods[k][l][j]) for (k, j) in items]
+        B = len(items)
+        d = data[items[0][0]][1].shape[1]
+        nmax = max(len(ix) for ix in idxs)
+        Lp = np.tile(np.eye(nmax), (B, 1, 1))
+        U = np.zeros((B, nmax, d))
+        for b, ((k, j), ix) in enumerate(zip(items, idxs)):
+            m = len(ix)
+            Lb = laplacian(data[k][0][np.ix_(ix, ix)]).astype(float)
+            _inc_diag(Lb, self.heta)
+            Lp[b, :m, :m] = Lb
+            U[b, :m, :] = data[k][1][ix, :]
+        T = np.matmul(inv(Lp), U)               # (B, nmax, d)
+        S = np.einsum("bnd,bne->bde", U, T)     # U^T Lp^-1 U
+        S[:, np.arange(d), np.arange(d)] += self.gamma
+        ev = eigvals(S) if d else np.zeros((B, 0))
+        logdet = np.sum(np.log(np.real(ev)), axis=1)
+        return inv(S), logdet
+
+    def _flg_block(self, Sa, la, Sb, lb, chunk=256):
+        """FLG kernel values between two stacks of (S_inv, logdet):
+        k = exp((-logdet(Sa_i + Sb_j) - (la_i + lb_j)/2)/2), zero below
+        exp(-30) (reference multiscale_laplacian.py:302-329)."""
+        Na, Nb = len(la), len(lb)
+        d = Sa.shape[1] if Na else 0
+        out = np.zeros((Na, Nb))
+        for s in range(0, Na, chunk):
+            e = min(s + chunk, Na)
+            T = (Sa[s:e, None] + Sb[None, :]).reshape(-1, d, d)
+            if d:
+                ev = eigvals(T)
+                log_detS = -np.sum(np.log(np.real(ev)),
+                                   axis=1).reshape(e - s, Nb)
+            else:
+                log_detS = np.zeros((e - s, Nb))
+            logr = (log_detS - 0.5 * (la[s:e, None] + lb[None, :])) / 2.0
+            blk = np.exp(logr)
+            blk[logr < -30] = 0.0
+            out[s:e] = blk
+        return out
+
+    def _gram(self, px, py=None):
+        Sx = np.stack([c[0] for c in px])
+        lx = np.array([c[1] for c in px])
+        if py is None:
+            return self._flg_block(Sx, lx, Sx, lx)
+        Sy = np.stack([c[0] for c in py])
+        ly = np.array([c[1] for c in py])
+        return self._flg_block(Sy, ly, Sx, lx)
+
+    def _diag(self, parsed):
+        S = 2.0 * np.stack([c[0] for c in parsed])
+        ld = np.array([c[1] for c in parsed])
+        d = S.shape[1]
+        ev = eigvals(S) if d else np.zeros((len(parsed), 0))
+        logr = (-np.sum(np.log(np.real(ev)), axis=1) - ld) / 2.0
+        out = np.exp(logr)
+        out[logr < -30] = 0.0
         return out
 
     def pairwise_operation(self, x, y):
