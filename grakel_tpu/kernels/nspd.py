@@ -24,37 +24,14 @@ count Gram runs as a chunked device counts-GEMM.
 
 from __future__ import annotations
 
-import warnings
-from collections import defaultdict
 from itertools import filterfalse
 
 import numpy as np
 
-import functools
-
-import jax
-import jax.numpy as jnp
-
 from .base import Kernel, normalize_input
 from ..batch import bucket_size
-from ..ops.gram import (chunked_counts_gram_raw, coo_counts_gram,
-                        coo_counts_gram_rect)
+from ..ops.gram import coo_counts_gram_rect
 
-
-@functools.partial(jax.jit, static_argnums=(7, 8, 9),
-                   donate_argnums=(4, 5))
-def _nspd_level_accum(g, k, w, v, S, D, idx, n, n_chunks, chunk):
-    """One NSPD level on device: counts-Gram, per-level normalization
-    (diagonal forced to 1, nan -> 0 like the reference
-    neighborhood_subgraph_pairwise_distance.py:306-325), accumulate into
-    donated ``S``; the level diagonal lands in row ``idx`` of ``D``."""
-    K = chunked_counts_gram_raw(g, k, w, v, n, n_chunks, chunk)
-    d = jnp.diagonal(K)
-    denom = jnp.sqrt(jnp.outer(d, d))
-    Q = jnp.where(denom > 0, K / denom, 0.0)
-    eye = jnp.eye(n, dtype=bool)
-    Q = jnp.where(eye, 1.0, Q)
-    return S + Q, D.at[idx].set(d)
 
 __all__ = ["NeighborhoodSubgraphPairwiseDistance", "ap_hash"]
 
@@ -271,45 +248,78 @@ class NeighborhoodSubgraphPairwiseDistance(Kernel):
         v[:len(rows)] = True
         return g, k, w, v
 
-    # graph count up to which per-level Grams run as host scipy sparse
-    # products (each level has ~one nnz per vertex pair; below this the
-    # 2x(r+1)x(d+1) device dispatches dominate)
-    _HOST_LEVELS_MAX_N = 2048
+    # column-multiplicity split point: columns shared by more graphs go
+    # through one dense GEMM; rarer columns through exact pair counting
+    _DENSE_COL_MULT = 64
 
     def fit_transform(self, X, y=None):
+        """Gram = sum over levels of the per-level-normalized count Gram
+        (reference neighborhood_subgraph_pairwise_distance.py:306-325).
+
+        The per-level count matrices are EXTREMELY sparse with mostly
+        graph-unique columns (measured on NCI1-scale data: 11M nnz over
+        12.7M total columns, only ~160k in-column pair products at
+        multiplicity <= 64 and ~5k denser columns).  Dense per-level
+        GEMMs over such widths are >99.9% wasted FLOPs, so the Gram is
+        assembled as a multiplicity-split sparse product:
+
+        * rows are pre-scaled by 1/sqrt(level diagonal), making each
+          level's normalized Q a plain product C'C'^T with unit diagonal;
+        * columns shared by <= _DENSE_COL_MULT graphs contribute their
+          in-column pair products through one global bincount scatter;
+        * denser columns are gathered into a single (n x n_hi) dense
+          block multiplied on the XLA-CPU backend (ops/gram.cpu_gemm);
+        * the diagonal is analytically the number of levels.
+        """
         self._method_calling = 2
         self.fit(X)
-        ngx = self._ngx
-        S = np.zeros((ngx, ngx))
+        n = self._ngx
         N = {}
-        if ngx <= self._HOST_LEVELS_MAX_N:
-            import scipy.sparse as sp
-            for key, (rows, cols, vals, width) in self.X.items():
-                C = sp.csr_matrix((vals, (rows, cols)),
-                                  shape=(ngx, max(width, 1)))
-                K = np.asarray((C @ C.T).todense(), np.float64)
-                K_diag = K.diagonal().copy()
-                N[key] = K_diag
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    Q = K / np.sqrt(np.outer(K_diag, K_diag))
-                np.fill_diagonal(Q, np.nan_to_num(np.diag(Q), nan=1.0))
-                S += np.nan_to_num(Q)
-        else:
-            # device accumulation: per-level normalize + sum into a
-            # donated buffer; ONE [n, n] fetch for all levels
-            import jax.numpy as jnp
-            from ..ops.gram import chunk_plan
-            items = list(self.X.items())
-            Sd = jnp.zeros((ngx, ngx), jnp.float32)
-            Dd = jnp.zeros((len(items), ngx), jnp.float32)
-            for i, (key, (rows, cols, vals, width)) in enumerate(items):
-                g, k, w, v = self._pad(rows, cols, vals)
-                nc, ch = chunk_plan(bucket_size(max(width, 1)))
-                Sd, Dd = _nspd_level_accum(g, k, w, v, Sd, Dd, i,
-                                           ngx, nc, ch)
-            S = np.asarray(Sd, np.float64)
-            Dh = np.asarray(Dd, np.float64)
-            N = {key: Dh[i] for i, (key, _) in enumerate(items)}
+        pair_idx, pair_w = [], []
+        hi_r, hi_c, hi_w = [], [], []
+        hi_count = 0
+        for key, (rows, cols, vals, width) in self.X.items():
+            d = self._level_sq_sum((rows, cols, vals, width), n)
+            N[key] = d
+            scale = np.zeros(n)
+            nz = d > 0
+            scale[nz] = 1.0 / np.sqrt(d[nz])
+            order = np.argsort(cols, kind="stable")
+            c = cols[order]
+            r = rows[order]
+            w = (vals[order] * scale[r]).astype(np.float64)
+            starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+            sizes = np.diff(np.r_[starts, len(c)])
+            for s in np.unique(sizes):
+                if s < 2 or s > self._DENSE_COL_MULT:
+                    continue
+                gs = starts[sizes == s]
+                idx = gs[:, None] + np.arange(s)
+                R = r[idx].astype(np.int64)
+                W = w[idx]
+                pair_idx.append((R[:, :, None] * n
+                                 + R[:, None, :]).ravel())
+                pair_w.append((W[:, :, None] * W[:, None, :]).ravel())
+            hi = sizes > self._DENSE_COL_MULT
+            if hi.any():
+                ent = np.repeat(hi, sizes)
+                gcol = np.cumsum(hi) - 1
+                hi_r.append(r[ent])
+                hi_c.append(np.repeat(gcol[hi] + hi_count, sizes[hi]))
+                hi_w.append(w[ent])
+                hi_count += int(hi.sum())
+        S = np.zeros((n, n))
+        if pair_idx:
+            flat = np.concatenate(pair_idx)
+            S += np.bincount(flat, weights=np.concatenate(pair_w),
+                             minlength=n * n).reshape(n, n)
+        if hi_count:
+            from ..ops.gram import cpu_gemm
+            D = np.zeros((n, hi_count), np.float32)
+            D[np.concatenate(hi_r), np.concatenate(hi_c)] = \
+                np.concatenate(hi_w)
+            S += cpu_gemm(D).astype(np.float64)
+        np.fill_diagonal(S, float(len(self.X)))
         self._X_level_norm_factor = N
         if self.normalize:
             return S / len(self.X)

@@ -119,7 +119,7 @@ PLAN = [
     ("NH", ["MUTAG", "ENZYMES", "NCI1"]),
     ("PK", ["MUTAG", "ENZYMES", "NCI1"]),
     ("PM", ["MUTAG", "ENZYMES", "NCI1"]),
-    ("ODD-STh", ["MUTAG", "ENZYMES"]),
+    ("ODD-STh", ["MUTAG", "ENZYMES", "NCI1"]),
     ("NSPDK", ["MUTAG", "ENZYMES", "NCI1"]),
     ("WL-OA", ["MUTAG", "ENZYMES"]),
     ("CORE-WL", ["MUTAG", "ENZYMES", "NCI1"]),
