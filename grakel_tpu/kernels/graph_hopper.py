@@ -14,9 +14,16 @@ Reference semantics (grakel/kernels/graph_hopper.py):
   linear / gaussian(mu) / bridge over node attributes (:239-337), with
   M tensors truncated to the common diameter.
 
-The decomposition runs on host (small per-graph Dijkstra + integer DP,
-vectorized here with einsum instead of the reference's triple loop);
-pairwise values are dense GEMMs.
+The decomposition runs on host.  For unweighted graphs the per-source
+DAG DP collapses into level-synchronous path-counting recurrences over
+ALL sources at once (occ[j,v,a] = [d(j,v)=a] * #shortest-paths(j,v),
+des via DES_c[j,v] = sum_w DAG(j)[v,w] DES_{c-1}[j,w]) — exact int64
+einsums, no per-source Python loop.  Weighted graphs keep the
+reference-shaped per-source Dijkstra + DP fallback.
+
+For the (default) linear node kernel the pairwise value factorizes,
+k(x, y) = <vec(NA_x^T M_x), vec(NA_y^T M_y)>, so the whole Gram is one
+GEMM over explicit features instead of an O(N^2) pair loop.
 """
 
 from __future__ import annotations
@@ -49,11 +56,10 @@ def od_vectors_dag(G, shortestpath_dists):
     for i in range(dag_size):
         starts = np.where(sortedG[i, :] == 1)[0]
         if starts.size:
-            occ[starts, :] += np.hstack([0, occ[i, :-1]])[None, :]
+            occ[starts, 1:] += occ[i, :-1][None, :]
         ends = np.where(sortedG[:, dag_size - i - 1] == 1)[0]
         if ends.size:
-            des[ends, :] += np.hstack(
-                [0, des[dag_size - i - 1, :-1]])[None, :]
+            des[ends, 1:] += des[dag_size - i - 1, :-1][None, :]
     return occ[re_sorted, :], des[re_sorted, :]
 
 
@@ -136,7 +142,7 @@ class GraphHopper(Kernel):
             if attributes.ndim == 1:
                 attributes = attributes[:, None]
             diam.append(int(np.max(spm[spm < np.inf])))
-            graphs.append((g.get_adjacency_matrix(), g.n, attributes))
+            graphs.append((g.get_adjacency_matrix(), g.n, attributes, spm))
 
         if self._method_calling == 1:
             self._max_diam = max(diam) + 1
@@ -145,7 +151,15 @@ class GraphHopper(Kernel):
             max_diam = max(self._max_diam, max(diam) + 1)
 
         out = []
-        for AM, node_nr, attributes in graphs:
+        for AM, node_nr, attributes, spm in graphs:
+            if node_nr and np.all((AM == 0) | (AM == 1)):
+                M = self._hopper_tensor(AM, spm, max_diam)
+                if self.calculate_norm_:
+                    out.append((M, attributes,
+                                np.sum(attributes ** 2, axis=1)))
+                else:
+                    out.append((M, attributes))
+                continue
             des = np.zeros((node_nr, node_nr, max_diam), dtype=int)
             occ = np.zeros((node_nr, node_nr, max_diam), dtype=int)
             idx_i, idx_j = np.where(AM > 0)
@@ -193,6 +207,65 @@ class GraphHopper(Kernel):
             else:
                 out.append((M, attributes))
         return out
+
+    @staticmethod
+    def _hopper_tensor(AM, spm, max_diam):
+        """M[v, a, b] for an UNWEIGHTED graph, all sources at once.
+
+        occ[j, v, a] = [d(j,v)=a] * N(j,v) where N counts shortest paths
+        (level-synchronous recurrence); des[j, v, c] = number of length-c
+        descents of the source-j shortest-path DAG from v:
+        DES_c[j, v] = sum_w B[j, v, w] DES_{c-1}[j, w] with
+        B[j, v, w] = [AM[w, v] > 0][d(j,w) = d(j,v)+1].  Exactly the
+        reference's per-source od_vectors_dag values (graph_hopper.py
+        :139-237, :356-421), without the per-source loop.
+        """
+        n = AM.shape[0]
+        finite = np.isfinite(spm)
+        di = np.where(finite, spm, -10).astype(np.int64)
+        diam = int(di.max()) if finite.any() else 0
+        B = ((AM.T > 0)[None, :, :]
+             & (di[:, None, :] == di[:, :, None] + 1)).astype(np.int64)
+        # shortest-path counts
+        N = (di == 0).astype(np.int64)
+        for lev in range(1, diam + 1):
+            T = np.einsum("ju,juv->jv", N, B)
+            N = np.where(di == lev, T, N)
+        # descendant-path counts per length
+        DES = np.zeros((max_diam, n, n), np.int64)
+        DES[0] = 1
+        for c in range(1, min(max_diam, diam + 1)):
+            DES[c] = np.einsum("jvw,jw->jv", B, DES[c - 1])
+        W = N[None, :, :] * DES                      # (c, j, v)
+        C = np.zeros((n, max_diam, max_diam))        # C[v, a, c]
+        jj, vv = np.nonzero(finite)
+        np.add.at(C, (vv, di[jj, vv]), W[:, jj, vv].T)
+        M = np.zeros((n, max_diam, max_diam))
+        for a in range(max_diam):
+            M[:, a, a:] = C[:, a, :max_diam - a]
+        return M
+
+    def _feature_matrix(self, parsed):
+        """Explicit feature map for the linear node kernel:
+        phi(G) = vec(NA^T M[:, :m, :m]) with m = the fit-time diameter
+        bound — every pairwise min-truncation involves a fit graph, so
+        truncating both sides to the fit width reproduces it exactly."""
+        if self.metric_ is not linear_kernel:
+            return None
+        m = self._max_diam
+        rows = []
+        for tup in parsed:
+            M, NA = tup[0], tup[1]
+            Mt = np.ascontiguousarray(
+                M[:, :m, :m]).reshape(M.shape[0], m * m)
+            rows.append((NA.T @ Mt).ravel())
+        return np.stack(rows)
+
+    def _diag(self, parsed):
+        # the reference's diagonal is pairwise(x, x) UNtruncated (a
+        # transform graph may exceed the fit diameter bound), so the
+        # feature-map shortcut does not apply here
+        return np.array([self.pairwise_operation(x, x) for x in parsed])
 
     def pairwise_operation(self, x, y):
         xp, yp = x[0], y[0]
