@@ -37,8 +37,21 @@ def _gemm_rect(a, b):
     return jnp.dot(a, b.T, preferred_element_type=jnp.float32)
 
 
+def _needs_f64(x):
+    """float64 feature matrices keep full precision through the GEMM:
+    GraphHopper weight features on attributed data produce Gram entries
+    ~1e8+ where an f32 product yields small negative eigenvalues (PSD
+    violation).  The float64 feature kernels (GraphHopper, LovaszTheta,
+    SvmTheta) all have narrow feature widths, so the host f64 GEMM is
+    cheap; count/histogram features arrive as f32/int and stay on the
+    device path."""
+    return isinstance(x, np.ndarray) and x.dtype == np.float64 and x.size
+
+
 def gram_gemm(phi):
     """K = Phi @ Phi^T (symmetric Gram)."""
+    if _needs_f64(phi):
+        return phi @ phi.T
     return np.asarray(_gemm_sym(_as_f32(phi)))
 
 
@@ -47,6 +60,15 @@ def gram_rect(phi_rows, phi_cols):
     features to the column feature width (transform semantics: columns =
     fit graphs; features unseen at fit contribute nothing, reference
     vertex_histogram.py:182-187)."""
+    if _needs_f64(phi_rows) or _needs_f64(phi_cols):
+        a = np.asarray(phi_rows, np.float64)
+        b = np.asarray(phi_cols, np.float64)
+        d = b.shape[1]
+        if a.shape[1] > d:
+            a = a[:, :d]
+        elif a.shape[1] < d:
+            a = np.pad(a, ((0, 0), (0, d - a.shape[1])))
+        return a @ b.T
     a = _as_f32(phi_rows)
     b = _as_f32(phi_cols)
     d = b.shape[1]
