@@ -17,9 +17,13 @@ Reference semantics (grakel/kernels/neighborhood_subgraph_pairwise_distance.py):
   ``normalize=True`` divides by the level count; diagonal() reports the
   level count (:326-355).
 
-TPU split: neighborhood hashing is host string work (exact-parity with
-the reference's encodings, AP hash reimplemented below); each level's
-count Gram runs as a chunked device counts-GEMM.
+TPU split: neighborhood hashing is host combinatorial work — the native
+C++ engine (native/src/nspd.cpp) hashes integer token streams whose
+equality relation matches the reference's encoding strings exactly
+(see its header comment), while the pure-Python fallback reproduces the
+reference's string encodings + AP hash verbatim; each level's count
+Gram runs as a multiplicity-split sparse assembly (fit) or chunked
+device counts-GEMM (transform).
 """
 
 from __future__ import annotations
@@ -201,9 +205,9 @@ class NeighborhoodSubgraphPairwiseDistance(Kernel):
             for r_ in range(self.r + 1):
                 keys = ((Hcat[r_, A].astype(np.uint64) << np.uint64(32))
                         | Hcat[r_, B].astype(np.uint64))
-                uk = np.unique(keys)
+                uk, inv = np.unique(keys, return_inverse=True)
                 if fit:
-                    col = np.searchsorted(uk, keys)
+                    col = inv
                     width = len(uk)
                     self._fit_keys[r_, d] = uk
                 else:
@@ -221,7 +225,7 @@ class NeighborhoodSubgraphPairwiseDistance(Kernel):
                     # transform truncates columns >= xw)
                     colmap = np.where(present, pos,
                                       xw + np.cumsum(~present) - 1)
-                    col = colmap[np.searchsorted(uk, keys)]
+                    col = colmap[inv]
                     width = xw + int((~present).sum())
                 comb = G * np.int64(width) + col
                 ucomb, cnt = np.unique(comb, return_counts=True)

@@ -9,10 +9,15 @@
 //   * "distance" pairs D[level] (first level at which j enters i's ball)
 //     with the reference's self-loop overwrite quirk (a self-loop puts
 //     (i,i) in both D[0] and D[1] and leaves Dist_pair[(i,i)] = 1),
-//   * per-source sorted "dist,label" token lists,
+//   * per-source sorted (dist, label) token lists,
 //   * the canonical neighborhood encoding per (radius, vertex), hashed
-//     with the ArashPartov hash as a streaming byte hash (no string
-//     materialization).
+//     as a 64-bit stream over INTEGER token/label codes (label bytes are
+//     FNV-hashed once per graph; no per-neighborhood string building).
+//     Hash VALUES therefore differ from the reference's ArashPartov
+//     string hashes, but the induced feature-identity partition — two
+//     neighborhoods collide iff their reference encoding strings are
+//     equal — is identical (modulo ~2^-32 hash collisions on either
+//     side), so every Gram matches.
 //
 // Edge iteration order inside an encoding replicates CPython's
 // set-iteration order exactly (the reference iterates a set of (i, j)
@@ -30,19 +35,27 @@
 
 namespace {
 
-inline void ap_stream(uint32_t &h, int64_t &idx, const uint8_t *p,
-                      size_t len) {
-  for (size_t k = 0; k < len; ++k, ++idx) {
-    uint8_t b = p[k];
-    if ((idx & 1) == 0)
-      h ^= ((h << 7) ^ (uint32_t)b * (h >> 3));
-    else
-      h ^= ~((h << 11) + ((uint32_t)b ^ (h >> 5)));
+inline uint64_t fnv64(const uint8_t *p, size_t len) {
+  uint64_t h = 1469598103934665603ULL;
+  for (size_t i = 0; i < len; ++i) {
+    h ^= p[i];
+    h *= 1099511628211ULL;
   }
+  return h;
 }
 
-inline void ap_stream(uint32_t &h, int64_t &idx, const std::string &s) {
-  ap_stream(h, idx, reinterpret_cast<const uint8_t *>(s.data()), s.size());
+inline uint64_t mix64(uint64_t x) {  // splitmix64 finalizer
+  x ^= x >> 30;
+  x *= 0xBF58476D1CE4E5B9ULL;
+  x ^= x >> 27;
+  x *= 0x94D049BB133111EBULL;
+  x ^= x >> 31;
+  return x;
+}
+
+// order-dependent 64-bit stream combine
+inline void feed(uint64_t &acc, uint64_t x) {
+  acc = mix64(acc ^ (x + 0x9E3779B97F4A7C15ULL));
 }
 
 // CPython set emulator for distinct (i, j) int-tuple keys.  Stores an
@@ -255,32 +268,49 @@ long nspd_hash_graph(
     }
   }
 
-  // ---- per-source sorted token lists -------------------------------- //
-  // token = str(dist) + "," + vl[j]; sorted by (token, j)
-  std::vector<std::vector<std::pair<std::string, int>>> toks(n);
+  // ---- per-source sorted integer token lists -------------------------- //
+  // reference token = str(dist) + "," + vl[j], sorted lexicographically;
+  // any total order that is a function of the (dist, label) multiset
+  // yields the same equality relation on label contents, so tokens sort
+  // by (dist, fnv64(label-bytes)) instead — no strings.
+  std::vector<uint64_t> vh(n);
+  for (int j = 0; j < n; ++j)
+    vh[j] = fnv64(vl_bytes + vl_offs[j],
+                  (size_t)(vl_offs[j + 1] - vl_offs[j]));
+  struct Tok {
+    int32_t d;
+    int32_t j;
+    uint64_t vh;
+    uint64_t code;  // mix of (d, vh): the token's stream contribution
+    bool operator<(const Tok &o) const {
+      return d != o.d ? d < o.d : vh < o.vh;
+    }
+  };
+  std::vector<std::vector<Tok>> toks(n);
   for (int i = 0; i < n; ++i) {
     auto &t = toks[i];
     for (int j = 0; j < n; ++j) {
       int dv = dist[(size_t)i * n + j];
       if (dv < 0) continue;
-      std::string s = std::to_string(dv);
-      s.push_back(',');
-      s.append(reinterpret_cast<const char *>(vl_bytes) + vl_offs[j],
-               (size_t)(vl_offs[j + 1] - vl_offs[j]));
-      t.emplace_back(std::move(s), j);
+      t.push_back(Tok{dv, j, vh[j],
+                      mix64((uint64_t)dv * 0xD6E8FEB86659FD93ULL ^ vh[j])});
     }
     std::sort(t.begin(), t.end());
   }
 
   // ---- encodings ----------------------------------------------------- //
-  std::vector<uint64_t> ehash(ne);
-  for (long e = 0; e < ne; ++e)
+  std::vector<uint64_t> ehash(ne), elh(ne);
+  for (long e = 0; e < ne; ++e) {
     ehash[e] = PySetEmu::tuple_hash((uint64_t)esrc[e], (uint64_t)edst[e]);
-  std::vector<std::string> label(n);
+    elh[e] = fnv64(el_bytes + el_offs[e],
+                   (size_t)(el_offs[e + 1] - el_offs[e]));
+  }
+  std::vector<uint64_t> label(n);  // 64-bit code of the sv-filtered label
   std::vector<int64_t> label_gen(n, -1);
   PySetEmu re, re_next;
   int64_t gen = 0;
   Bits sv(n);
+  const uint64_t SECTION = 0xA5A5A5A55A5A5A5AULL;
   for (int v = 0; v < n; ++v) {
     bool first_radius = true;
     for (int radius = R; radius >= 0; --radius, ++gen) {
@@ -304,39 +334,27 @@ long nspd_hash_graph(
         });
       }
       std::swap(re, re_next);
-      // vertex labels within sv
-      uint32_t h = 0xAAAAAAAAu;
-      int64_t idx = 0;
+      // vertex label codes within sv (polynomial over sorted tokens,
+      // memoized per generation)
+      uint64_t acc = 0x243F6A8885A308D3ULL;
       for (size_t k = 0; k < verts.size(); ++k) {
         int i = verts[k];
         if (label_gen[i] != gen) {
           label_gen[i] = gen;
-          std::string &L = label[i];
-          L.clear();
-          bool first = true;
-          for (auto &tj : toks[i]) {
-            if (!sv.get(tj.second)) continue;
-            if (!first) L.push_back('|');
-            first = false;
-            L += tj.first;
-          }
+          uint64_t L = 0xCBF29CE484222325ULL;
+          for (const Tok &t : toks[i])
+            if (sv.get(t.j)) L = (L ^ t.code) * 0x100000001B3ULL;
+          label[i] = L;
         }
-        ap_stream(h, idx, label[i]);
-        const uint8_t sep = (k + 1 == verts.size()) ? ':' : '.';
-        ap_stream(h, idx, &sep, 1);
+        feed(acc, label[i]);
       }
+      feed(acc, SECTION);
       re.for_each([&](int32_t e) {
-        ap_stream(h, idx, label[esrc[e]]);
-        uint8_t c = ',';
-        ap_stream(h, idx, &c, 1);
-        ap_stream(h, idx, label[edst[e]]);
-        ap_stream(h, idx, &c, 1);
-        ap_stream(h, idx, el_bytes + el_offs[e],
-                  (size_t)(el_offs[e + 1] - el_offs[e]));
-        c = '_';
-        ap_stream(h, idx, &c, 1);
+        feed(acc, label[esrc[e]]);
+        feed(acc, label[edst[e]]);
+        feed(acc, elh[e]);
       });
-      out_hash[(size_t)radius * n + v] = h;
+      out_hash[(size_t)radius * n + v] = (uint32_t)(acc ^ (acc >> 32));
     }
   }
   return np_out;
