@@ -363,42 +363,57 @@ class Graph(object):
         if with_distances and d < 0:
             d = r
             warnings.warn("negative d as input - d set to r")
-        chain = (lambda n: sorted(n)) if sort_neighbors else (lambda n: n)
-        vertices = list(range(self.n))
-        N = {0: {i: {i} for i in vertices}}
-        if with_distances:
-            D = {0: set(zip(vertices, vertices))}
-            Dist_pair = {(v, v): 0 for v in vertices}
+        n = self.n
+        track = with_distances
+        top = max(r, d) if track else r
+        N = {0: {i: {i} for i in range(n)}}
+        if track:
+            level_pairs = {0: {(i, i) for i in range(n)}}
+            first_seen = {(i, i): 0 for i in range(n)}
+
         if r > 0:
-            N[1] = {}
-            if with_distances and d >= 1:
-                D[1] = set()
-            for i in vertices:
+            eye = np.eye(n, dtype=bool)
+            ball = eye.copy()  # closed ball reachability, grows per level
+            # level 1 keeps duplicate entries in the sorted list (a
+            # self-loop contributes its endpoint twice), so it is built
+            # from raw neighbor lists rather than the boolean mask
+            lists = {}
+            loops = []
+            for i in range(n):
                 ns = list(self.neighbors(i))
-                N[1][i] = chain([i] + ns)
-                if with_distances and d >= 1:
-                    dset = {(i, n) for n in ns}
-                    Dist_pair.update(zip(dset, len(dset) * [1]))
-                    D[1] |= dset
-            for level in range(1, max(r, d if with_distances else 0)):
-                N[level + 1] = {}
-                if with_distances and level <= d - 1:
-                    D[level + 1] = set()
-                for i in vertices:
-                    neighbors = set()
-                    for w in N[level][i]:
-                        neighbors |= set(N[level][w])
-                    N[level + 1][i] = chain(list(neighbors))
-                    if with_distances and level <= d - 1:
-                        dset = {(i, j)
-                                for j in (neighbors - set(N[level][i]))}
-                        Dist_pair.update(zip(dset, len(dset) * [level + 1]))
-                        D[level + 1] |= dset
-            if with_distances:
+                closed = [i] + ns
+                lists[i] = sorted(closed) if sort_neighbors else closed
+                ball[i, ns] = True
+                if i in ns:
+                    loops.append(i)
+            N[1] = lists
+            if track and d >= 1:
+                s, t = np.nonzero(ball & ~eye)
+                fresh = list(zip(s.tolist(), t.tolist()))
+                fresh += [(i, i) for i in loops]
+                level_pairs[1] = set(fresh)
+                first_seen.update((p, 1) for p in fresh)
+            # doubling recursion: composing the level-k ball with itself
+            # is one boolean matmul, so N[k] holds the radius-2^(k-1)
+            # ball for k >= 2 (exactly the reference's level sequence)
+            for level in range(1, top):
+                f = ball.astype(np.float32)
+                grown = (f @ f) > 0
+                if track and level <= d - 1:
+                    s, t = np.nonzero(grown & ~ball)
+                    fresh = list(zip(s.tolist(), t.tolist()))
+                    level_pairs[level + 1] = set(fresh)
+                    first_seen.update((p, level + 1) for p in fresh)
+                ball = grown
+                N[level + 1] = {i: np.flatnonzero(ball[i]).tolist()
+                                for i in range(n)}
+            if track:
+                # the reference drops the levels it only computed for
+                # distance tracking — but keeps level d itself when d > r
                 for level in range(r + 1, d):
                     N.pop(level, None)
-        if with_distances:
-            return N, D, Dist_pair
+        if track:
+            return N, level_pairs, first_seen
         return N
 
     def get_subgraph(self, vertices):

@@ -12,8 +12,7 @@ from collections import defaultdict
 
 import numpy as np
 from sklearn.base import BaseEstimator, TransformerMixin
-from sklearn.model_selection import GridSearchCV, KFold, ShuffleSplit
-from sklearn.pipeline import make_pipeline
+from sklearn.model_selection import KFold, ShuffleSplit
 from sklearn.svm import SVC
 from sklearn.utils import Bunch, check_random_state
 from sklearn.utils.validation import check_is_fitted
@@ -89,48 +88,73 @@ class KMTransformer(BaseEstimator, TransformerMixin):
 def cross_validate_Kfold_SVM(K, y, n_iter=10, n_splits=10, C_grid=None,
                              random_state=None, scoring="accuracy",
                              fold_reduce=None):
-    """n_iter x n_splits K-Fold CV over precomputed kernels with an inner
-    C grid (reference utils.py:144-230).  ``K`` is a list whose elements
-    are kernel matrices or iterables of kernel matrices (grid over
-    variants); returns per-element lists of per-iteration reduced fold
-    scores."""
+    """Repeated K-Fold CV of precomputed-kernel SVMs with inner model
+    selection (same protocol as reference utils.py:144-230).
+
+    ``K`` is a list whose elements are kernel matrices or iterables of
+    kernel matrices (a per-element grid of variants).  Every outer fold
+    picks the best (variant, C) pair on a single 90/10 split of its
+    training block, refits that model on the whole block, and scores the
+    held-out fold; per-iteration fold scores are collapsed with
+    ``fold_reduce``.  Returns one list of ``n_iter`` reduced scores per
+    element of ``K``.  Unlike the reference this runs the selection loop
+    directly on submatrix views instead of routing index arrays through
+    a GridSearchCV pipeline — same protocol, ~no sklearn overhead."""
+    from sklearn.metrics import get_scorer
+
     y = np.asarray(y)
     if C_grid is None:
-        C_grid = ((10.0 ** np.arange(-7, 7, 2)) / len(y)).tolist()
+        Cs = (10.0 ** np.arange(-7, 7, 2)) / y.shape[0]
     else:
-        C_grid = list(np.squeeze(np.asarray(C_grid)).reshape(-1))
+        Cs = np.asarray(C_grid, dtype=float).reshape(-1)
     if fold_reduce is None:
         fold_reduce = np.mean
     elif not callable(fold_reduce):
         raise ValueError("fold_reduce should be a callable")
-    random_state = check_random_state(random_state)
-    kfolder = KFold(n_splits=n_splits, random_state=random_state,
-                    shuffle=True)
-    estimator = make_pipeline(KMTransformer(), SVC(kernel="precomputed"))
-    nfolds = tuple(tuple(kfolder.split(y)) for _ in range(n_iter))
+    rng = check_random_state(random_state)
+    scorer = get_scorer(scoring)
 
-    out = []
-    for ks in K:
-        if _valid_matrix(ks):
-            pg = {"svc__C": C_grid, "kmtransformer__K": [Bunch(mat=ks)]}
-        elif hasattr(ks, "__iter__") and all(_valid_matrix(k) for k in ks):
-            pg = [{"svc__C": C_grid, "kmtransformer__K": [Bunch(mat=k)]}
-                  for k in ks]
-        else:
-            raise ValueError("Not a valid object for kernel matrix/ces")
-        mid = []
-        for kfolds in nfolds:
-            fold_info = []
-            for train, test in kfolds:
-                gs = GridSearchCV(
-                    estimator, param_grid=pg, scoring=scoring,
-                    cv=ShuffleSplit(n_splits=1, test_size=0.1,
-                                    random_state=random_state)
-                ).fit(train, y[train])
-                fold_info.append(gs.score(test, y[test]))
-            mid.append(fold_reduce(fold_info))
-        out.append(mid)
-    return out
+    def variants_of(ks):
+        ok, M = _valid_matrix(ks, transform=True)
+        if ok:
+            return [M]
+        if hasattr(ks, "__iter__"):
+            checked = [_valid_matrix(k, transform=True) for k in ks]
+            if checked and all(ok for ok, _ in checked):
+                return [M for _, M in checked]
+        raise ValueError("Not a valid object for kernel matrix/ces")
+
+    grids = [variants_of(ks) for ks in K]
+    # one shared fold structure so scores are comparable across elements
+    folds = [list(KFold(n_splits=n_splits, shuffle=True,
+                        random_state=rng).split(y)) for _ in range(n_iter)]
+
+    def eval_on(M, C, fit_idx, eval_idx):
+        clf = SVC(kernel="precomputed", C=C)
+        clf.fit(M[np.ix_(fit_idx, fit_idx)], y[fit_idx])
+        return scorer(clf, M[np.ix_(eval_idx, fit_idx)], y[eval_idx])
+
+    results = []
+    for variants in grids:
+        per_iter = []
+        for splits in folds:
+            fold_scores = []
+            for train, test in splits:
+                pos_tr, pos_val = next(iter(ShuffleSplit(
+                    n_splits=1, test_size=0.1,
+                    random_state=rng).split(train)))
+                sub_tr, sub_val = train[pos_tr], train[pos_val]
+                best = (-np.inf, None)
+                for M in variants:
+                    for C in Cs:
+                        s = eval_on(M, C, sub_tr, sub_val)
+                        if s > best[0]:
+                            best = (s, (M, C))
+                M, C = best[1]
+                fold_scores.append(eval_on(M, C, train, test))
+            per_iter.append(fold_reduce(fold_scores))
+        results.append(per_iter)
+    return results
 
 
 # --------------------------------------------------------------------- #

@@ -404,3 +404,37 @@ class TestSubgraphMatching:
         fit, _ = mutag_tiny
         check_pair("SubgraphMatching", fit[:4], None, k=2, ke=None,
                    rtol=1e-6, atol=1e-8)
+
+
+class TestProduceNeighborhoods:
+    def test_levels_and_distances(self, mutag):
+        """The vectorized doubling recursion must reproduce the
+        reference's N / D / Dist_pair structures verbatim (NSPD's
+        published features depend on every quirk, incl. self-loops and
+        the d>r level-popping)."""
+        from grakel import Graph as RefGraph
+        from grakel_tpu import Graph as OurGraph
+        rng = np.random.RandomState(5)
+        cases = [mutag[i] for i in rng.choice(len(mutag), 6, replace=False)]
+        # explicit self-loop case (the reference puts (i, i) in both
+        # D[0] and D[1] and leaves Dist_pair[(i, i)] == 1)
+        A = np.array([[1, 1, 0, 0], [1, 0, 1, 0],
+                      [0, 1, 0, 1], [0, 0, 1, 0]], float)
+        cases = cases + [[A, {i: i % 2 for i in range(4)}, {}]]
+        for r, d in [(3, 4), (2, 6), (0, 2), (1, 0)]:
+            for g in cases:
+                ref = RefGraph(g[0], g[1], g[2])
+                ours = OurGraph(g[0], g[1], g[2])
+                Nr, Dr, Pr = ref.produce_neighborhoods(
+                    r=r, with_distances=True, d=d)
+                No, Do, Po = ours.produce_neighborhoods(
+                    r=r, with_distances=True, d=d)
+                assert set(Nr) == set(No)
+                for lev in Nr:
+                    for v in Nr[lev]:
+                        assert sorted(Nr[lev][v]) == sorted(No[lev][v]), \
+                            (r, d, lev, v)
+                assert set(Dr) == set(Do)
+                for lev in Dr:
+                    assert set(Dr[lev]) == set(Do[lev]), (r, d, lev)
+                assert Pr == Po, (r, d)
