@@ -46,6 +46,10 @@ from .utils import (KMTransformer, cross_validate_Kfold_SVM,  # noqa: E402
                     graph_from_networkx, graph_from_pandas,
                     graph_from_csv, graph_from_torch_geometric)
 
+from .isomorphism import (canonical_labeling, canonical_form,  # noqa: E402
+                          is_isomorphic)
+
 __all__ += ["KMTransformer", "cross_validate_Kfold_SVM",
             "graph_from_networkx", "graph_from_pandas",
-            "graph_from_csv", "graph_from_torch_geometric"]
+            "graph_from_csv", "graph_from_torch_geometric",
+            "canonical_labeling", "canonical_form", "is_isomorphic"]

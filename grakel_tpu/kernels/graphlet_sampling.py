@@ -18,7 +18,10 @@ Reference semantics (grakel/kernels/graphlet_sampling.py):
 * phi = bin-count matrix; K = phi phi^T (GEMM); transform-time new bins
   extend the fit bins (:269-284).
 
-Graphlets of size > 8 fall back to networkx VF2 binning on host.
+Graphlets of size > 8 are binned by their EXACT canonical form (the
+individualization-refinement engine in isomorphism.py / native
+canonical.cpp — the framework's bliss replacement), so ``k=9+`` needs
+no optional dependency and stays a dict lookup.
 """
 
 from __future__ import annotations
@@ -36,24 +39,6 @@ from ..ops.consubg import connected_subsets
 from ..ops.gram import gram_gemm, gram_rect
 
 __all__ = ["GraphletSampling"]
-
-
-class _HostBin:
-    """VF2-equality wrapper for graphlets beyond the device size cap."""
-
-    def __init__(self, A):
-        import networkx as nx
-        self.g = nx.Graph()
-        self.g.add_nodes_from(range(A.shape[0]))
-        self.g.add_edges_from(zip(*np.where(A > 0)))
-
-    def __eq__(self, other):
-        import networkx as nx
-        return nx.is_isomorphic(self.g, other.g)
-
-    def __hash__(self):
-        # degree-multiset invariant; equality falls back to VF2
-        return hash(tuple(sorted(d for _, d in self.g.degree())))
 
 
 class GraphletSampling(Kernel):
@@ -144,9 +129,12 @@ class GraphletSampling(Kernel):
     def _keys_for(self, samples):
         """Canonical bin keys per sample, preserving sample order.
 
-        Device codes for sizes <= MAX_DEVICE_SIZE (batched per size),
-        host VF2 wrappers beyond.
+        Device min-perm codes for sizes <= MAX_DEVICE_SIZE (batched per
+        size); larger graphlets get exact canonical-form bytes from the
+        general canonicalizer (isomorphism.canonical_form) — both are
+        hashable keys, so binning stays a dict lookup either way.
         """
+        from ..isomorphism import canonical_form
         by_size = {}
         order = []
         for j, Q in enumerate(samples):
@@ -159,7 +147,7 @@ class GraphletSampling(Kernel):
                     order[j] = (s, int(c))
             else:
                 for j, Q in items:
-                    order[j] = _HostBin(Q)
+                    order[j] = canonical_form(Q)
         return order
 
     def parse_input(self, X):
@@ -215,20 +203,10 @@ class GraphletSampling(Kernel):
         return local_values
 
     def _lookup_fit(self, key):
-        if isinstance(key, tuple):
-            return self._bin_of.get(key)
-        for k, v in self._graph_bins.items():
-            if isinstance(v, _HostBin) and v == key:
-                return k
-        return None
+        return self._bin_of.get(key)
 
     def _lookup_y(self, key):
-        if isinstance(key, tuple):
-            return self._Y_bin_of.get(key)
-        for k, v in self._Y_graph_bins.items():
-            if isinstance(v, _HostBin) and v == key:
-                return k
-        return None
+        return self._Y_bin_of.get(key)
 
     # ------------------------------------------------------------------ #
     def fit_transform(self, X, y=None):

@@ -17,7 +17,7 @@ import tempfile
 import numpy as np
 
 __all__ = ["clique_values", "ap_hash_batch", "connected_subsets_native",
-           "nspd_hash_graph", "have_native"]
+           "nspd_hash_graph", "canonical_labeling_native", "have_native"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src")
@@ -30,7 +30,8 @@ def _build():
     srcs = [os.path.join(_SRC, "clique_kernel.cpp"),
             os.path.join(_SRC, "ap_hash.cpp"),
             os.path.join(_SRC, "consubg.cpp"),
-            os.path.join(_SRC, "nspd.cpp")]
+            os.path.join(_SRC, "nspd.cpp"),
+            os.path.join(_SRC, "canonical.cpp")]
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
            "-o", _LIB_PATH] + srcs
     subprocess.run(cmd, check=True, capture_output=True)
@@ -79,6 +80,10 @@ def _load():
             _u8, _i64, _u8, _i64,
             _u32, ctypes.c_long, _i32, _i32, _i32]
         lib.nspd_hash_graph.restype = ctypes.c_long
+        lib.canonical_labeling.argtypes = [
+            ctypes.c_int, ctypes.c_long, _i32, _i32, _i32,
+            ctypes.c_int, _i32]
+        lib.canonical_labeling.restype = ctypes.c_int
         _lib = lib
     except Exception:  # pragma: no cover - no compiler / load failure
         _lib = None
@@ -188,6 +193,30 @@ def nspd_hash_graph(n, raw_src, raw_dst, esrc, edst, vlabels, elabels,
         raise RuntimeError("nspd_hash_graph capacity exceeded")
     return (H[:(R + 1) * n].reshape(R + 1, n),
             pa[:cnt], pb[:cnt], pd[:cnt])
+
+
+def canonical_labeling_native(n, src, dst, colors, directed):
+    """Canonical vertex positions via the native individualization-
+    refinement engine (src/canonical.cpp), or ``None`` when no native
+    library is available (caller falls back to the Python search)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if n == 0:
+        return np.zeros(0, np.int32)
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    colors = np.ascontiguousarray(colors, np.int32)
+    ne = len(src)
+    if ne == 0:  # ndpointer rejects size-0 views; pass 1-byte dummies
+        src = np.zeros(1, np.int32)
+        dst = np.zeros(1, np.int32)
+    out = np.zeros(n, np.int32)
+    rc = lib.canonical_labeling(n, ne, src, dst, colors,
+                                1 if directed else 0, out)
+    if rc != 0:  # pragma: no cover
+        raise RuntimeError("canonical_labeling failed")
+    return out
 
 
 def clique_values(cv, ce, kmax):
