@@ -148,7 +148,14 @@ class GraphKernel(BaseEstimator, TransformerMixin):
                 "random_state" in cls().get_params():
             params.setdefault("random_state", self.random_state)
         valid = cls().get_params()
-        params = {k: v for k, v in params.items() if k in valid}
+        unknown = sorted(set(params) - set(valid))
+        if unknown:
+            # surface typos instead of silently dropping them
+            # (reference graph_kernels.py:445-491 raises the same way)
+            raise TypeError("%s got unexpected kernel parameter(s): %s "
+                            "(valid: %s)"
+                            % (cls.__name__, ", ".join(unknown),
+                               ", ".join(sorted(valid))))
         return cls(**params)
 
     def _resolve_base(self, specs):

@@ -92,7 +92,6 @@ class Kernel(BaseEstimator, TransformerMixin):
         self.n_jobs = n_jobs
         self.normalize = normalize
         self.verbose = verbose
-        self._initialized = {}
         # 1: fit, 2: fit_transform, 3: transform — reference kernel.py:66-71
         self._method_calling = 0
 
@@ -217,52 +216,76 @@ class Kernel(BaseEstimator, TransformerMixin):
         """Host O(N^2) fallback, mirroring reference kernel.py:227-265.
 
         Symmetric when ``B is None`` (upper triangle + reflect);
-        rectangular rows=A, cols=B otherwise.  joblib threading is applied
-        over pair chunks when ``n_jobs`` is set.
+        rectangular rows=A, cols=B otherwise.  Pair indices are STREAMED
+        (generator), never materialized — at NCI1 scale the symmetric
+        case has 8.4M pairs and a tuple list would dominate memory.
+        joblib threading is applied when ``n_jobs`` is set.
         """
         if B is None:
             n = len(A)
             K = np.zeros((n, n))
-            pairs = [(i, j) for i in range(n) for j in range(i, n)]
+            pairs = ((i, j) for i in range(n) for j in range(i, n))
+            total = n * (n + 1) // 2
 
             def work(i, j):
                 K[i, j] = self.pairwise_operation(A[i], A[j])
 
-            self._run_pairs(work, pairs)
+            self._run_pairs(work, pairs, total)
             K = np.triu(K) + np.triu(K, 1).T
             return K
         n, m = len(A), len(B)
         K = np.zeros((n, m))
-        pairs = [(i, j) for i in range(n) for j in range(m)]
+        pairs = ((i, j) for i in range(n) for j in range(m))
 
         def work(i, j):
             K[i, j] = self.pairwise_operation(A[i], B[j])
 
-        self._run_pairs(work, pairs)
+        self._run_pairs(work, pairs, n * m)
         return K
 
-    def _run_pairs(self, work, pairs):
+    def _run_pairs(self, work, pairs, total=None):
         n_jobs = self.n_jobs
+        progress = self._progress("pairwise", total) if self.verbose \
+            else None
         if n_jobs in (None, 0, 1):
-            for i, j in pairs:
+            for k, (i, j) in enumerate(pairs):
                 work(i, j)
+                if progress:
+                    progress(k + 1)
             return
         try:
             from joblib import Parallel, delayed
             eff = n_jobs if n_jobs > 0 else None
-            Parallel(n_jobs=eff, backend="threading", pre_dispatch="all")(
+            Parallel(n_jobs=eff, backend="threading",
+                     pre_dispatch="2*n_jobs" if eff else "all")(
                 delayed(work)(i, j) for i, j in pairs)
         except ImportError:  # pragma: no cover
             for i, j in pairs:
                 work(i, j)
 
+    def _progress(self, stage, total=None):
+        """Verbose progress reporter: prints every ~5% (or 1000 items
+        when the total is unknown)."""
+        import sys
+        name = type(self).__name__
+        step = max(1, (total or 20000) // 20)
+
+        def report(done):
+            if done % step == 0 or done == total:
+                if total:
+                    print("[%s] %s: %d/%d" % (name, stage, done, total),
+                          file=sys.stderr)
+                else:
+                    print("[%s] %s: %d" % (name, stage, done),
+                          file=sys.stderr)
+        return report
+
     # sklearn plumbing ---------------------------------------------------
-    def set_params(self, **params):
-        super().set_params(**params)
-        for p in params:
-            if p in self._initialized:
-                self._initialized[p] = False
-        return self
+    # NOTE on staleness (reference kernel.py:387-403): the reference's
+    # set_params marks touched params "uninitialized" so the next fit
+    # re-validates them.  Here ``initialize()`` runs unconditionally at
+    # every fit entry point (fit -> initialize), so post-set_params
+    # revalidation is automatic and no bookkeeping dict is needed.
 
     def _rng(self, seed_attr="random_state"):
         return check_random_state(getattr(self, seed_attr, None))

@@ -212,7 +212,8 @@ class GraphletSampling(Kernel):
     def fit_transform(self, X, y=None):
         self._method_calling = 2
         self.fit(X)
-        phi_x = np.zeros((self._nx, len(self._graph_bins)))
+        phi_x = np.zeros((self._nx, len(self._graph_bins)),
+                         np.float32)
         for (i, j), v in self.X.items():
             phi_x[i, j] = v
         self._phi_X = phi_x
@@ -231,12 +232,14 @@ class GraphletSampling(Kernel):
             raise NotFittedError("call fit before transform")
         Y = self.parse_input(X)
         if not hasattr(self, "_phi_X"):
-            phi_x = np.zeros((self._nx, len(self._graph_bins)))
+            phi_x = np.zeros((self._nx, len(self._graph_bins)),
+                         np.float32)
             for (i, j), v in self.X.items():
                 phi_x[i, j] = v
             self._phi_X = phi_x
         nb = len(self._graph_bins)
-        phi_y = np.zeros((self._ny, nb + len(self._Y_graph_bins)))
+        phi_y = np.zeros((self._ny, nb + len(self._Y_graph_bins)),
+                         np.float32)
         for (i, j), v in Y.items():
             phi_y[i, j] = v
         self._phi_Y = phi_y
@@ -255,7 +258,8 @@ class GraphletSampling(Kernel):
         if getattr(self, "_X_diag", None) is None:
             phi_x = getattr(self, "_phi_X", None)
             if phi_x is None:
-                phi_x = np.zeros((self._nx, len(self._graph_bins)))
+                phi_x = np.zeros((self._nx, len(self._graph_bins)),
+                         np.float32)
                 for (i, j), v in self.X.items():
                     phi_x[i, j] = v
                 self._phi_X = phi_x

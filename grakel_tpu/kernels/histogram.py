@@ -31,10 +31,18 @@ class _HistogramKernel(Kernel):
     def __init__(self, n_jobs=None, normalize=False, verbose=False,
                  sparse="auto"):
         super().__init__(n_jobs=n_jobs, normalize=normalize, verbose=verbose)
-        # `sparse` kept for API compatibility with the reference
-        # (vertex_histogram.py:128-133); the device path is chunked-dense
-        # regardless, so it has no effect here.
+        # `sparse` is accepted for API compatibility with the reference
+        # (vertex_histogram.py:128-133), where it gates a dense-ndarray
+        # vs scipy-sparse feature matrix with a MemoryError fallback.
+        # Here a dense [n_graphs, n_labels] matrix is never materialized
+        # in the first place — features stream as (graph, label) COO
+        # through chunked densify+GEMM — so every mode is already
+        # "sparse-safe" and the value only gets validated.
         self.sparse = sparse
+
+    def initialize(self):
+        if self.sparse not in ("auto", True, False):
+            raise TypeError("sparse could be False, True or auto")
 
     def _collect_labels(self, g):
         if self._label_type == "edge" and g.nb_edges() == 0:

@@ -45,7 +45,8 @@ def _needs_f64(x):
     SvmTheta) all have narrow feature widths, so the host f64 GEMM is
     cheap; count/histogram features arrive as f32/int and stay on the
     device path."""
-    return isinstance(x, np.ndarray) and x.dtype == np.float64 and x.size
+    return (isinstance(x, np.ndarray) and x.dtype == np.float64
+            and x.size > 0)
 
 
 def gram_gemm(phi):
@@ -61,8 +62,12 @@ def gram_rect(phi_rows, phi_cols):
     fit graphs; features unseen at fit contribute nothing, reference
     vertex_histogram.py:182-187)."""
     if _needs_f64(phi_rows) or _needs_f64(phi_cols):
-        a = np.asarray(phi_rows, np.float64)
-        b = np.asarray(phi_cols, np.float64)
+        def dense64(x):
+            if hasattr(x, "toarray"):  # scipy sparse
+                x = x.toarray()
+            return np.asarray(x, np.float64)
+        a = dense64(phi_rows)
+        b = dense64(phi_cols)
         d = b.shape[1]
         if a.shape[1] > d:
             a = a[:, :d]

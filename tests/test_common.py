@@ -108,3 +108,36 @@ def test_graphkernel_framework_chain(labeled_data):
 def test_graphkernel_unknown_raises():
     with pytest.raises(ValueError):
         GraphKernel(kernel="not_a_kernel").fit_transform([[{0: [1]}, {}]])
+
+
+def test_graphkernel_unknown_param_raises():
+    """Typos in kernel specs must surface, not be silently dropped
+    (reference graph_kernels.py:445-491)."""
+    import pytest
+    from grakel_tpu import GraphKernel
+    gk = GraphKernel(kernel={"name": "weisfeiler_lehman", "n_itr": 5})
+    with pytest.raises(TypeError, match="n_itr"):
+        gk.initialize()
+
+
+def test_histogram_sparse_validation():
+    import pytest
+    from grakel_tpu import VertexHistogram
+    VertexHistogram(sparse=True).initialize()
+    VertexHistogram(sparse="auto").initialize()
+    with pytest.raises(TypeError):
+        VertexHistogram(sparse="yes").initialize()
+
+
+def test_verbose_pairwise_progress(capsys):
+    import numpy as np
+    from grakel_tpu import SubgraphMatching
+    rng = np.random.RandomState(0)
+    gs = []
+    for i in range(6):
+        A = (rng.rand(7, 7) < 0.5).astype(float)
+        A = np.triu(A, 1)
+        gs.append([A + A.T, {v: 0 for v in range(7)}, {}])
+    k = SubgraphMatching(verbose=True, k=3)
+    k.fit_transform(gs)
+    assert "pairwise" in capsys.readouterr().err
