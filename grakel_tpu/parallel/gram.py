@@ -26,7 +26,8 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["ring_gram", "sharded_counts_gram", "shard_batch"]
+__all__ = ["ring_gram", "ring_rect_gram", "sharded_counts_gram",
+           "shard_batch"]
 
 
 def _ring_body(phi_local, n_devices, axis_name):
@@ -66,6 +67,43 @@ def ring_gram(mesh, phi, axis_name="g"):
     return fn(phi)
 
 
+def _ring_rect_body(rows_local, cols_local, n_devices, axis_name):
+    """Rectangular ring block: rows stay resident, column-feature blocks
+    rotate.  rows_local: [ry, L], cols_local: [rc, L] ->
+    K row block [ry, n_devices * rc]."""
+    p = jax.lax.axis_index(axis_name)
+    rc = cols_local.shape[0]
+    perm = [(i, (i - 1) % n_devices) for i in range(n_devices)]
+
+    def step(t, carry):
+        blk, K = carry
+        src = jnp.mod(p + t, n_devices)
+        tile = jnp.dot(rows_local, blk.T,
+                       preferred_element_type=jnp.float32)
+        K = jax.lax.dynamic_update_slice(K, tile, (0, src * rc))
+        blk = jax.lax.ppermute(blk, axis_name, perm)
+        return blk, K
+
+    K0 = jnp.zeros((rows_local.shape[0], n_devices * rc), jnp.float32)
+    K0 = jax.lax.pvary(K0, (axis_name,))
+    _, K = jax.lax.fori_loop(0, n_devices, step, (cols_local, K0))
+    return K
+
+
+def ring_rect_gram(mesh, phi_rows, phi_cols, axis_name="g"):
+    """K[i, j] = <phi_rows[i], phi_cols[j]> with BOTH operands
+    row-sharded over ``mesh`` (the transform-block layout: rows =
+    transform graphs, cols = fit graphs).  Row counts must divide by the
+    mesh size; returns the full rectangular Gram, row-sharded."""
+    P = mesh.shape[axis_name]
+    spec = PartitionSpec(axis_name, None)
+    fn = shard_map(
+        functools.partial(_ring_rect_body, n_devices=P,
+                          axis_name=axis_name),
+        mesh=mesh, in_specs=(spec, spec), out_specs=spec)
+    return fn(phi_rows, phi_cols)
+
+
 def shard_batch(gids, labels, weights, valid, n_graphs, n_devices):
     """Host-side split of a COO item stream into per-device slices.
 
@@ -90,16 +128,21 @@ def shard_batch(gids, labels, weights, valid, n_graphs, n_devices):
     lb = np.zeros((n_devices, I), labels.dtype)
     lw = np.zeros((n_devices, I), np.float32)
     lv = np.zeros((n_devices, I), bool)
-    fill = np.zeros(n_devices, np.int64)
     idx = np.nonzero(valid)[0]
-    for i in idx:
-        d = int(dev_of[i])
-        k = fill[d]
-        lg[d, k] = int(gids[i]) - d * rows
-        lb[d, k] = labels[i]
-        lw[d, k] = weights[i]
-        lv[d, k] = True
-        fill[d] = k + 1
+    if idx.size:
+        # vectorized per-device packing: stable-sort by device, then the
+        # slot of each item is its running index minus its device's start
+        d = dev_of[idx]
+        order = np.argsort(d, kind="stable")
+        sel = idx[order]
+        dsort = d[order]
+        starts = np.zeros(n_devices, np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        slot = np.arange(sel.size) - starts[dsort]
+        lg[dsort, slot] = (gids[sel] - dsort * rows).astype(np.int32)
+        lb[dsort, slot] = labels[sel]
+        lw[dsort, slot] = weights[sel]
+        lv[dsort, slot] = True
     return lg, lb, lw, lv, rows
 
 

@@ -1,4 +1,5 @@
-"""Edge-partitioned WL refinement for a SINGLE large graph.
+"""Edge-partitioned WL refinement for SINGLE large graphs, and the mixed
+Gram path that lets huge graphs sit inside an ordinary dataset.
 
 ``distributed_wl_gram`` (parallel/wl.py) assigns whole graphs to
 devices, which is the right layout for dataset Grams.  When ONE graph is
@@ -13,18 +14,18 @@ its nodes and edges instead:
   step over ICI), hashes locally against the global label vector, and
   emits local hash shards;
 * id compaction is host-side ``np.unique`` over the gathered hashes,
-  exactly like the single-chip fast path;
-* per-level node-label histograms (the WL feature vector of the graph)
-  come from a local bincount + ``psum``.
+  exactly like the single-chip fast path.
 
-``edge_partitioned_wl_features`` returns the per-generation histogram
-feature map of the large graph — the object that feeds Gram rows
-against other graphs — plus the final labels.
+The edge-partitioned hash arithmetic is BIT-IDENTICAL to the per-graph
+batched refinement (ops/wl.wl_hash_refine), so hashes from huge and
+small graphs can be compacted JOINTLY into one id space per generation —
+that is what :func:`large_graph_wl_gram` does to produce a Gram over a
+dataset that mixes a 50k-node graph with ordinary graphs (the scaling
+axis the reference cannot reach: REDDIT-scale inputs OOM/TIMEOUT it,
+reference doc/benchmarks/evaluation.rst:63-100).
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 import jax
@@ -39,7 +40,7 @@ except ImportError:  # pragma: no cover
 from ..batch import bucket_size
 from ..ops import wl as wl_ops
 
-__all__ = ["edge_partitioned_wl_features"]
+__all__ = ["edge_partitioned_wl_features", "large_graph_wl_gram"]
 
 
 def _refine_step(P, axis="g"):
@@ -66,6 +67,64 @@ def _refine_step(P, axis="g"):
     return step
 
 
+class _EdgePartition:
+    """Sharding plan of one graph over a P-way mesh axis: node blocks +
+    sender-local edge slices, packed with vectorized scatters."""
+
+    def __init__(self, g, P):
+        n = g.n
+        self.n = n
+        self.npd = npd = -(-n // P)
+        self.N_pad = npd * P
+        self.node_valid = np.zeros(self.N_pad, bool)
+        self.node_valid[:n] = True
+
+        send = np.asarray(g.senders, np.int64)
+        recv = np.asarray(g.receivers, np.int64)
+        dev = send // npd
+        counts = np.bincount(dev, minlength=P)
+        E_pad = bucket_size(max(int(counts.max()) if len(send) else 1, 1))
+        self.send_local = np.zeros((P, E_pad), np.int32)
+        self.recv_global = np.zeros((P, E_pad), np.int32)
+        self.emask = np.zeros((P, E_pad), bool)
+        if len(send):
+            order = np.argsort(dev, kind="stable")
+            dsort = dev[order]
+            starts = np.zeros(P, np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            pos = np.arange(len(send)) - starts[dsort]
+            self.send_local[dsort, pos] = (send[order]
+                                           - dsort * npd).astype(np.int32)
+            self.recv_global[dsort, pos] = recv[order].astype(np.int32)
+            self.emask[dsort, pos] = True
+
+    def device_args(self):
+        return (jnp.asarray(self.send_local), jnp.asarray(self.recv_global),
+                jnp.asarray(self.emask))
+
+
+def _initial_labels(g, enum):
+    """Shared-enumeration initial WL ids for one graph."""
+    labs = g.get_labels(label_type="vertex")
+    out = np.zeros(g.n, np.int32)
+    for v in range(g.n):
+        l = labs[v]
+        if l not in enum:
+            enum[l] = len(enum)
+        out[v] = enum[l]
+    return out
+
+
+def _histogram(ids, valid):
+    """{label_id: count} via one bincount (no Python per-node loop)."""
+    vals = np.asarray(ids)[np.asarray(valid)]
+    if vals.size == 0:
+        return {}
+    cnt = np.bincount(vals.astype(np.int64))
+    nz = np.nonzero(cnt)[0]
+    return {int(l): int(cnt[l]) for l in nz}
+
+
 def edge_partitioned_wl_features(g, n_iter, mesh, axis="g"):
     """WL per-generation label histograms of one graph over a mesh.
 
@@ -74,63 +133,127 @@ def edge_partitioned_wl_features(g, n_iter, mesh, axis="g"):
     final numpy label array).
     """
     P = mesh.shape[axis]
-    n = g.n
-    npd = -(-n // P)
-    N_pad = npd * P
-
-    labs = g.get_labels(label_type="vertex")
+    part = _EdgePartition(g, P)
     enum = {}
-    labels = np.zeros(N_pad, np.int32)
-    for v in range(n):
-        l = labs[v]
-        if l not in enum:
-            enum[l] = len(enum)
-        labels[v] = enum[l]
-    # park padded nodes in a sink label so they never collide with real
-    # ones and are dropped from histograms
-    labels[n:] = -1
-    node_valid = np.zeros(N_pad, bool)
-    node_valid[:n] = True
-
-    # edges on the sender's device, receiver kept GLOBAL
-    send = np.asarray(g.senders, np.int64)
-    recv = np.asarray(g.receivers, np.int64)
-    dev = send // npd
-    E_per = np.bincount(dev, minlength=P)
-    E_pad = bucket_size(max(int(E_per.max()) if len(E_per) else 1, 1))
-    send_local = np.zeros((P, E_pad), np.int32)
-    recv_global = np.zeros((P, E_pad), np.int32)
-    emask = np.zeros((P, E_pad), bool)
-    fill = np.zeros(P, np.int64)
-    for s, r in zip(send, recv):
-        d = int(s // npd)
-        k = fill[d]
-        send_local[d, k] = s - d * npd
-        recv_global[d, k] = r
-        emask[d, k] = True
-        fill[d] = k + 1
+    labels = np.full(part.N_pad, -1, np.int32)
+    labels[:g.n] = _initial_labels(g, enum)
 
     spec = PartitionSpec(axis, None)
     step = shard_map(_refine_step(P, axis), mesh=mesh,
                      in_specs=(spec,) * 4, out_specs=(spec, spec))
+    args = part.device_args()
 
-    labels_sh = jnp.asarray(labels.reshape(P, npd))
-    args = (jnp.asarray(send_local), jnp.asarray(recv_global),
-            jnp.asarray(emask))
-
-    def histogram(lab_flat):
-        c = {}
-        for l in lab_flat[node_valid]:
-            c[int(l)] = c.get(int(l), 0) + 1
-        return c
-
-    feats = [histogram(labels[:N_pad])]
+    feats = [_histogram(labels, part.node_valid)]
     cur = labels
+    labels_sh = jnp.asarray(labels.reshape(P, part.npd))
     for _ in range(n_iter):
         h1, h2 = step(labels_sh, *args)
         ids, nu = wl_ops.host_compact(
-            np.asarray(h1).ravel(), np.asarray(h2).ravel(), node_valid)
+            np.asarray(h1).ravel(), np.asarray(h2).ravel(),
+            part.node_valid)
         cur = ids
-        labels_sh = jnp.asarray(ids.reshape(P, npd).astype(np.int32))
-        feats.append(histogram(cur))
-    return feats, cur[:n]
+        labels_sh = jnp.asarray(ids.reshape(P, part.npd).astype(np.int32))
+        feats.append(_histogram(cur, part.node_valid))
+    return feats, cur[:g.n]
+
+
+def large_graph_wl_gram(graphs, n_iter, mesh, big_threshold=10000,
+                        axis="g"):
+    """Symmetric WL h=``n_iter`` subtree Gram for a dataset that may
+    contain graphs too large for per-device residence.
+
+    Graphs with ``n >= big_threshold`` refine EDGE-PARTITIONED over the
+    mesh (node shards + sender-local edges, all_gather boundary
+    exchange); the rest refine as one flat host batch
+    (ops/wl.host_hash_refine — bit-identical arithmetic).  Each
+    generation's hash pairs from both populations are compacted JOINTLY
+    (one np.unique), so label ids live in a single shared space and the
+    Gram equals the single-device WeisfeilerLehman Gram exactly.
+    """
+    from ..ops.gram import cpu_gemm
+
+    graphs = list(graphs)
+    n_graphs = len(graphs)
+    big_idx = [i for i, g in enumerate(graphs) if g.n >= big_threshold]
+    small_idx = [i for i, g in enumerate(graphs) if g.n < big_threshold]
+    P = mesh.shape[axis]
+    enum = {}
+
+    # --- small population: one flat batch ---------------------------- #
+    sm_graphs = [graphs[i] for i in small_idx]
+    sm_n = np.array([g.n for g in sm_graphs], np.int64)
+    sm_off = np.zeros(len(sm_graphs) + 1, np.int64)
+    sm_off[1:] = np.cumsum(sm_n)
+    Ns = int(sm_off[-1])
+    sm_labels = np.zeros(Ns, np.int32)
+    sm_gids = np.zeros(Ns, np.int64)
+    sends, recvs = [], []
+    for k, g in enumerate(sm_graphs):
+        o = sm_off[k]
+        sm_labels[o:o + g.n] = _initial_labels(g, enum)
+        sm_gids[o:o + g.n] = small_idx[k]
+        sends.append(np.asarray(g.senders, np.int64) + o)
+        recvs.append(np.asarray(g.receivers, np.int64) + o)
+    sm_send = np.concatenate(sends) if sends else np.zeros(0, np.int64)
+    sm_recv = np.concatenate(recvs) if recvs else np.zeros(0, np.int64)
+
+    # --- big population: edge-partitioned shards ---------------------- #
+    parts, big_labels, steps = {}, {}, {}
+    spec = PartitionSpec(axis, None)
+    for i in big_idx:
+        part = _EdgePartition(graphs[i], P)
+        lab = np.full(part.N_pad, -1, np.int32)
+        lab[:graphs[i].n] = _initial_labels(graphs[i], enum)
+        parts[i] = part
+        big_labels[i] = lab
+        steps[i] = shard_map(_refine_step(P, axis), mesh=mesh,
+                             in_specs=(spec,) * 4,
+                             out_specs=(spec, spec))
+
+    K = np.zeros((n_graphs, n_graphs), np.float64)
+
+    def accumulate(ids_small, ids_big, width):
+        counts = np.zeros((n_graphs, width), np.float32)
+        if Ns:
+            np.add.at(counts, (sm_gids, ids_small), 1.0)
+        for i, ids in ids_big.items():
+            v = parts[i].node_valid
+            counts[i] += np.bincount(np.asarray(ids)[v].astype(np.int64),
+                                     minlength=width)[:width]
+        return cpu_gemm(counts).astype(np.float64)
+
+    cur_small = sm_labels
+    cur_big = {i: big_labels[i] for i in big_idx}
+    width = max(len(enum), 1)
+    for it in range(n_iter + 1):
+        K += accumulate(cur_small, cur_big, width)
+        if it == n_iter:
+            break
+        # hash both populations with the same arithmetic
+        if Ns:
+            h1s, h2s = wl_ops.host_hash_refine(
+                cur_small, sm_send, sm_recv,
+                np.ones(len(sm_send), bool))
+        else:
+            h1s = h2s = np.zeros(0, np.uint32)
+        hb = {}
+        for i in big_idx:
+            part = parts[i]
+            lab_sh = jnp.asarray(cur_big[i].reshape(P, part.npd))
+            h1, h2 = steps[i](lab_sh, *part.device_args())
+            hb[i] = (np.asarray(h1).ravel(), np.asarray(h2).ravel())
+        # joint compaction: one shared id space per generation
+        all_h1 = np.concatenate([h1s] + [hb[i][0] for i in big_idx]) \
+            if big_idx else h1s
+        all_h2 = np.concatenate([h2s] + [hb[i][1] for i in big_idx]) \
+            if big_idx else h2s
+        all_valid = np.concatenate(
+            [np.ones(Ns, bool)] + [parts[i].node_valid for i in big_idx])
+        ids, width = wl_ops.host_compact(all_h1, all_h2, all_valid)
+        cur_small = ids[:Ns].astype(np.int32)
+        o = Ns
+        for i in big_idx:
+            part = parts[i]
+            cur_big[i] = ids[o:o + part.N_pad].astype(np.int32)
+            o += part.N_pad
+    return K

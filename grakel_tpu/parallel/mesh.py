@@ -1,19 +1,64 @@
-"""Device-mesh helpers.
+"""Device-mesh helpers and the multi-host (DCN) bring-up path.
 
 One logical axis matters for graph-kernel Gram assembly: ``"g"`` (graph
-shards / Gram row tiles).  Multi-host execution uses
-``jax.distributed.initialize`` before calling :func:`make_mesh`; a single
-process with N local (or ``xla_force_host_platform_device_count``
-virtual) devices produces the same program.
+shards / Gram row tiles).  Multi-host execution calls
+:func:`distributed_init` once per process before building a mesh; a
+single process with N local (or ``xla_force_host_platform_device_count``
+virtual) devices produces the same program.  ``tools/
+launch_distributed.py`` is the runnable launcher: it spawns one process
+per "host", initializes the coordination service, and runs the
+distributed WL Gram over the process-spanning mesh (verified against
+the single-process result).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import jax
 from jax.sharding import Mesh
 
-__all__ = ["make_mesh", "local_mesh"]
+__all__ = ["make_mesh", "local_mesh", "distributed_init"]
+
+
+def distributed_init(coordinator_address=None, num_processes=None,
+                     process_id=None, cpu_collectives="gloo"):
+    """Initialize multi-process JAX for this process.
+
+    Wraps ``jax.distributed.initialize``: explicit arguments win, else
+    the standard env vars (``JAX_COORDINATOR_ADDRESS`` /
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``, also read natively by
+    JAX on TPU pods where they come from the pod metadata).  On the CPU
+    backend the gloo collectives implementation is selected first —
+    required for cross-process psum/ppermute/all_gather (on real TPU
+    pods collectives ride ICI/DCN and this knob is ignored).
+
+    No-op (returns False) when neither arguments nor env vars are
+    present — single-process callers can call this unconditionally.
+    """
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None and num_processes is None:
+        return False
+    if cpu_collectives:
+        try:
+            jax.config.update("jax_cpu_collectives_implementation",
+                              cpu_collectives)
+        except Exception:  # non-CPU backends don't have the knob
+            pass
+    kw = {}
+    if addr:
+        kw["coordinator_address"] = addr
+    if num_processes is not None or "JAX_NUM_PROCESSES" in os.environ:
+        kw["num_processes"] = int(
+            num_processes if num_processes is not None
+            else os.environ["JAX_NUM_PROCESSES"])
+    if process_id is not None or "JAX_PROCESS_ID" in os.environ:
+        kw["process_id"] = int(
+            process_id if process_id is not None
+            else os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kw)
+    return True
 
 
 def make_mesh(n_devices=None, axis_name="g"):

@@ -39,6 +39,19 @@ from .gram import _ring_body
 __all__ = ["distributed_wl_gram"]
 
 
+def _to_host(x):
+    """Full numpy copy of a (possibly multi-process-sharded) array.
+
+    Single-process arrays are fully addressable and copy directly; under
+    ``jax.distributed`` the per-process shards are allgathered first so
+    every process sees the same global value (host compaction must be
+    deterministic and identical across processes)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def _shard_graphs(graphs, n_devices, node_label_enum):
     """Pack graphs into per-device flat arrays [P, ...] with equal pads.
 
@@ -133,9 +146,16 @@ def distributed_wl_gram(graphs, n_iter, mesh, axis="g"):
     L = max(len(enum), 1)
 
     spec = PartitionSpec(axis, None)
-    K = jnp.zeros((P, gpd, P * gpd), jnp.float32)
-    labels_j = jnp.asarray(labels)
-    args = tuple(map(jnp.asarray, (gids, nmask, send, recv, emask)))
+    # device_put with explicit shardings so host numpy becomes global
+    # sharded arrays in BOTH single- and multi-process meshes (every
+    # process holds the identical full-host copy and uploads its shards)
+    from jax.sharding import NamedSharding
+    row_sh = NamedSharding(mesh, spec)
+    K_sh = NamedSharding(mesh, PartitionSpec(axis, None, None))
+    put = functools.partial(jax.device_put, device=row_sh)
+    K = jax.device_put(np.zeros((P, gpd, P * gpd), np.float32), K_sh)
+    labels_j = put(labels)
+    args = tuple(map(put, (gids, nmask, send, recv, emask)))
     nmask_np = nmask
 
     for it in range(n_iter + 1):
@@ -148,12 +168,11 @@ def distributed_wl_gram(graphs, n_iter, mesh, axis="g"):
         K, h1, h2 = step(labels_j, *args, K)
         if it < n_iter:
             ids, nu = wl_ops.host_compact(
-                np.asarray(h1).ravel(), np.asarray(h2).ravel(),
+                _to_host(h1).ravel(), _to_host(h2).ravel(),
                 nmask_np.ravel())
-            labels_j = jnp.asarray(
-                ids.reshape(nmask_np.shape).astype(np.int32))
+            labels_j = put(ids.reshape(nmask_np.shape).astype(np.int32))
             L = bucket_size(nu)
 
     # assemble [P*gpd, P*gpd] from per-device row blocks, strip padding
-    Kfull = np.asarray(K).reshape(P * gpd, P * gpd)
+    Kfull = _to_host(K).reshape(P * gpd, P * gpd)
     return Kfull[:n, :n]

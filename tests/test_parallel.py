@@ -113,3 +113,54 @@ def test_edge_partitioned_wl_matches_single_device():
         for l in np.asarray(ids)[valid]:
             hist[int(l)] = hist.get(int(l), 0) + 1
         assert hist == feats[it + 1], f"generation {it + 1}"
+
+
+def test_large_graph_wl_gram_matches_single_device():
+    """A dataset mixing one 'huge' graph (edge-partitioned over the
+    mesh) with ordinary graphs must produce the same WL Gram as the
+    plain single-device WeisfeilerLehman kernel."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from grakel_tpu import Graph, WeisfeilerLehman
+    from grakel_tpu.parallel import large_graph_wl_gram
+
+    rng = np.random.RandomState(0)
+    graphs = []
+    # one "big" graph (400 nodes, threshold lowered so it edge-partitions)
+    nbig = 400
+    src = rng.randint(0, nbig, 4 * nbig)
+    dst = rng.randint(0, nbig, 4 * nbig)
+    keep = src != dst
+    edges = np.stack([np.concatenate([src[keep], dst[keep]]),
+                      np.concatenate([dst[keep], src[keep]])], 1)
+    edges = np.unique(edges, axis=0)
+    A = np.zeros((nbig, nbig))
+    A[edges[:, 0], edges[:, 1]] = 1
+    graphs.append(Graph(A, {v: int(v % 4) for v in range(nbig)}, {}))
+    # ordinary graphs
+    for i in range(24):
+        n = rng.randint(6, 16)
+        B = (rng.rand(n, n) < 0.3).astype(float)
+        B = np.triu(B, 1)
+        B = B + B.T
+        graphs.append(Graph(B, {v: int((v + i) % 4) for v in range(n)}, {}))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("g",))
+    K_dist = large_graph_wl_gram(graphs, n_iter=3, mesh=mesh,
+                                 big_threshold=100)
+    K_single = np.asarray(WeisfeilerLehman(n_iter=3).fit_transform(graphs))
+    np.testing.assert_allclose(K_dist, K_single, rtol=1e-6, atol=1e-8)
+
+
+def test_ring_rect_gram_matches_gemm():
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from grakel_tpu.parallel import ring_rect_gram
+    mesh = Mesh(np.array(jax.devices()[:8]), ("g",))
+    rng = np.random.RandomState(1)
+    y = rng.rand(16, 37).astype(np.float32)
+    x = rng.rand(24, 37).astype(np.float32)
+    K = np.asarray(ring_rect_gram(mesh, y, x))
+    np.testing.assert_allclose(K, y @ x.T, rtol=1e-5, atol=1e-5)
