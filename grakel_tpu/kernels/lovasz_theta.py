@@ -12,11 +12,12 @@ Reference semantics (grakel/kernels/lovasz_theta.py):
 * pairwise = metric(phi_x, phi_y), default full inner product (:509).
 
 Where the reference requires cvxopt's interior-point solver (optional,
-Windows-fragile), grakel_tpu solves the SDP ON DEVICE: bisection over t
-with Dykstra alternating projections (entry clamping <-> PSD eigenvalue
-clipping), vmapped over size-bucketed graph batches
-(ops/lovasz_sdp.py).  Values agree with the interior-point solution to
-~1e-3 on theta, far below the subset-sampling noise; no cvxopt needed.
+Windows-fragile), grakel_tpu solves the SDP ON DEVICE: Douglas-Rachford
+splitting on the equivalent primal (one batched ``eigh`` per iteration)
+over size-bucketed graph batches, with the dual slack recovered from
+the fixed point (ops/lovasz_sdp.py).  Theta matches 12 closed-form
+golden values to <= 1.5e-5 (tests/test_lovasz.py::test_theta_goldens),
+far below the subset-sampling noise; no cvxopt needed.
 """
 
 from __future__ import annotations

@@ -1,6 +1,15 @@
-"""LovaszTheta: device SDP correctness on known theta values + kernel
-pipeline sanity (no reference parity possible — the reference requires
-cvxopt, absent from this environment)."""
+"""LovaszTheta: device SDP accuracy against closed-form goldens +
+kernel pipeline sanity (no reference parity possible — the reference
+requires cvxopt, absent from this environment).
+
+Golden values (program convention: empty -> 1, complete -> n, i.e. the
+reference's dual with M on non-edges):
+* Lovász 1979: theta(C_n) = n cos(pi/n) / (1 + cos(pi/n)) for odd n,
+  and theta(G) theta(Gbar) = n for vertex-transitive G;
+* perfect graphs: theta = independence number of the complement;
+* Paley graphs are self-complementary vertex-transitive -> sqrt(n);
+* Petersen = Kneser K(5,2): theta = 4 (complement 10/4).
+"""
 
 import numpy as np
 import pytest
@@ -8,36 +17,104 @@ import pytest
 from grakel_tpu.ops.lovasz_sdp import lovasz_theta_batch
 
 
-def test_theta_known_values():
-    # the reference's program (M on NON-edges): empty graph -> 1,
-    # complete graph -> n, C5 -> sqrt(5)
-    n = 5
-    empty = np.zeros((1, 8, 8), np.float32)
-    comp = np.zeros((1, 8, 8), np.float32)
-    comp[0, :n, :n] = 1 - np.eye(n)
-    c5 = np.zeros((1, 8, 8), np.float32)
-    for i in range(5):
-        c5[0, i, (i + 1) % 5] = c5[0, (i + 1) % 5, i] = 1
-    t_e, _ = lovasz_theta_batch(empty, [n])
-    t_c, _ = lovasz_theta_batch(comp, [n])
-    t_5, _ = lovasz_theta_batch(c5, [n])
-    assert abs(t_e[0] - 1.0) < 2e-2
-    assert abs(t_c[0] - n) < 5e-2
-    assert abs(t_5[0] - np.sqrt(5)) < 5e-2
+def _cyc(n):
+    A = np.zeros((n, n), np.float32)
+    for i in range(n):
+        A[i, (i + 1) % n] = A[(i + 1) % n, i] = 1
+    return A
+
+
+def _comp(A):
+    n = A.shape[0]
+    return (1 - A - np.eye(n)).astype(np.float32)
+
+
+def _petersen():
+    E = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (0, 5), (1, 6), (2, 7),
+         (3, 8), (4, 9), (5, 7), (7, 9), (9, 6), (6, 8), (8, 5)]
+    A = np.zeros((10, 10), np.float32)
+    for a, b in E:
+        A[a, b] = A[b, a] = 1
+    return A
+
+
+def _paley13():
+    qr = {(x * x) % 13 for x in range(1, 13)}
+    A = np.zeros((13, 13), np.float32)
+    for i in range(13):
+        for j in range(13):
+            if i != j and (i - j) % 13 in qr:
+                A[i, j] = 1
+    return A
+
+
+def _kab(a, b):
+    A = np.zeros((a + b, a + b), np.float32)
+    A[:a, a:] = 1
+    A[a:, :a] = 1
+    return A
+
+
+def _path(n):
+    A = np.zeros((n, n), np.float32)
+    for i in range(n - 1):
+        A[i, i + 1] = A[i + 1, i] = 1
+    return A
+
+
+_C7 = np.cos(np.pi / 7)
+_C9 = np.cos(np.pi / 9)
+
+GOLDENS = [
+    ("empty6", np.zeros((6, 6), np.float32), 1.0),
+    ("K6", _comp(np.zeros((6, 6), np.float32)), 6.0),
+    ("C5", _cyc(5), np.sqrt(5)),
+    ("C7", _cyc(7), (1 + _C7) / _C7),
+    ("C7_complement", _comp(_cyc(7)), 7 * _C7 / (1 + _C7)),
+    ("petersen", _petersen(), 2.5),
+    ("petersen_complement", _comp(_petersen()), 4.0),
+    ("K_3_4", _kab(3, 4), 2.0),
+    ("P4", _path(4), 2.0),
+    ("paley13", _paley13(), np.sqrt(13)),
+    ("C9", _cyc(9), (1 + _C9) / _C9),
+    ("C9_complement", _comp(_cyc(9)), 9 * _C9 / (1 + _C9)),
+]
+
+
+def test_theta_goldens():
+    """All 12 closed-form theta values to 1e-4 at default budgets
+    (measured max error 1.5e-5 — the float32 eigh floor)."""
+    V = max(A.shape[0] for _, A, _ in GOLDENS)
+    B = np.zeros((len(GOLDENS), V, V), np.float32)
+    ns = []
+    for k, (_, A, _) in enumerate(GOLDENS):
+        n = A.shape[0]
+        B[k, :n, :n] = A
+        ns.append(n)
+    t, S = lovasz_theta_batch(B, ns)
+    for k, (name, A, golden) in enumerate(GOLDENS):
+        assert abs(t[k] - golden) < 1e-4, (name, t[k], golden)
 
 
 def test_slack_feasible():
     rng = np.random.RandomState(0)
     A = (rng.rand(1, 8, 8) < 0.4).astype(np.float32)
-    A = np.triu(A, 1); A = A + np.transpose(A, (0, 2, 1))
+    A = np.triu(A, 1)
+    A = A + np.transpose(A, (0, 2, 1))
     t, S = lovasz_theta_batch(A, [8])
     Sb = S[0]
     w = np.linalg.eigvalsh(Sb)
     assert w.min() > -1e-3
     # fixed entries respected
-    assert np.allclose(np.diag(Sb), t[0] - 1, atol=1e-2)
+    assert np.allclose(np.diag(Sb), t[0] - 1, atol=1e-4)
     ii, jj = np.nonzero(A[0])
-    assert np.allclose(Sb[ii, jj], -1, atol=1e-2)
+    assert np.allclose(Sb[ii, jj], -1, atol=1e-4)
+    # complementary slackness certificate quality: theta from the dual
+    # (lmax of J - M) must match theta from the primal
+    J = np.ones((8, 8), np.float32)
+    M = Sb + J - t[0] * np.eye(8)
+    lm = np.linalg.eigvalsh(J - M)[-1]
+    assert abs(lm - t[0]) < 5e-3
 
 
 def test_kernel_pipeline():
@@ -47,7 +124,8 @@ def test_kernel_pipeline():
     for i in range(12):
         n = rng.randint(4, 9)
         A = (rng.rand(n, n) < 0.4).astype(float)
-        A = np.triu(A, 1); A = A + A.T
+        A = np.triu(A, 1)
+        A = A + A.T
         graphs.append([A, {v: 0 for v in range(n)}, {}])
     k = LovaszTheta(random_state=0, n_samples=20)
     K = k.fit_transform(graphs[:9])
