@@ -34,7 +34,6 @@ from sklearn.utils import check_random_state
 
 from .base import Kernel, normalize_input
 from ..batch import bucket_size
-from ..ops.intersect import min_intersection_gram
 
 __all__ = ["NeighborhoodHash"]
 
@@ -168,17 +167,24 @@ class NeighborhoodHash(Kernel):
 
     # ------------------------------------------------------------------ #
     def _gram(self, px, py=None):
+        from ..ops.gram import fetch_gram
+        from ..ops.intersect import min_intersection_gram_rounds
         if py is None:
             py = px
         R = self.R
         nx = px["nv"]
         ny = py["nv"]
-        K = np.zeros((py["n"], px["n"]), np.float64)
-        for r in range(R):
-            c = min_intersection_gram(py["hists"][r], px["hists"][r])
-            denom = ny[:, None] + nx[None, :] - c
-            with np.errstate(divide="ignore", invalid="ignore"):
-                K += np.nan_to_num(c / denom)
+        # all R intersection Grams in one dispatch; the counts are small
+        # integers, so ONE lossless byte-plane fetch replaces R full f32
+        # Gram transfers (the NH bottleneck on a tunneled backend)
+        c_dev = min_intersection_gram_rounds(py["hists"], px["hists"])
+        Rp, npad, mpad = c_dev.shape
+        c_all = np.asarray(
+            fetch_gram(c_dev.reshape(Rp * npad, mpad)),
+            np.float64).reshape(Rp, npad, mpad)[:, :py["n"], :px["n"]]
+        denom = (ny[:, None] + nx[None, :])[None] - c_all
+        with np.errstate(divide="ignore", invalid="ignore"):
+            K = np.nan_to_num(c_all / denom).sum(axis=0)
         K /= float(R)
         return K if py is not px else (K + K.T) / 2.0
 

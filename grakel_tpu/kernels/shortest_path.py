@@ -95,6 +95,38 @@ def _fw_and_maxdist(adj, mask):
     return S, valid, dmax
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _sp_fused_gram(As, Ls, Ms, gidxs, n, L, D, n_chunks, chunk):
+    """The whole symmetric direct path in ONE dispatch: per bucket
+    Floyd-Warshall -> triplet ids -> chunked counts-GEMM accumulation
+    into a single [n, n] Gram.  The bucket loop unrolls at trace time
+    (one compiled program per bucket-shape set, persistently cached);
+    no per-bucket host round trips remain — on a tunneled backend each
+    dispatch costs ~26 ms and the old path paid 2 per bucket plus a
+    blocking scalar fetch for the observed max distance."""
+    from ..ops.gram import chunked_counts_gram_raw
+    ids_l, gids_l, val_l = [], [], []
+    for A, Lb, M, idxs in zip(As, Ls, Ms, gidxs):
+        S = batched_floyd_warshall(A, M)
+        V = S.shape[1]
+        valid = (M[:, :, None] & M[:, None, :]
+                 & ~jnp.eye(V, dtype=bool)[None] & (S < INF / 2))
+        d = jnp.clip(S.astype(jnp.int32), 0, D - 1)
+        lu = Lb[:, :, None].astype(jnp.int32)
+        lv = Lb[:, None, :].astype(jnp.int32)
+        ids_l.append(((lu * L + lv) * D + d).reshape(-1))
+        gids_l.append(jnp.broadcast_to(
+            idxs[:, None, None], (A.shape[0], V, V)).reshape(-1))
+        val_l.append(valid.reshape(-1))
+    # ONE gram over the concatenated streams (cross-bucket products!)
+    ids = jnp.concatenate(ids_l)
+    gids = jnp.concatenate(gids_l)
+    flat_valid = jnp.concatenate(val_l)
+    ones = jnp.ones(ids.shape[0], jnp.float32)
+    return chunked_counts_gram_raw(gids, ids, ones, flat_valid, n,
+                                   n_chunks, chunk)
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def _direct_ids(S, labels, valid, gid_base, L, D):
     """Direct triplet ids for one bucket (unit-weight path).
@@ -255,9 +287,23 @@ class ShortestPath(Kernel):
 
     # ------------------------------------------------------------------ #
     def _gram(self, px, py=None):
+        from ..ops.gram import chunk_plan
         if py is None:
             ok, L = self._direct_eligible(px)
             if ok:
+                # pessimistic distance bound: D <= max bucket V.  When
+                # the implied width fits the cap, the WHOLE Gram runs in
+                # one fused dispatch with no device->host sync; only
+                # wider label spaces pay the observed-dmax round trip.
+                D = px["max_V"]
+                if L * L * D <= self._DIRECT_MAX_WIDTH:
+                    As = tuple(jnp.asarray(b[1]) for b in px["buckets"])
+                    Ls = tuple(jnp.asarray(b[2]) for b in px["buckets"])
+                    Ms = tuple(jnp.asarray(b[3]) for b in px["buckets"])
+                    gs = tuple(jnp.asarray(b[0]) for b in px["buckets"])
+                    nc, ch = chunk_plan(bucket_size(L * L * D))
+                    return fetch_gram(_sp_fused_gram(
+                        As, Ls, Ms, gs, px["n"], L, D, nc, ch))
                 fw, dmax = self._fw_all(px)
                 D = int(dmax) + 1
                 width = L * L * D

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["min_intersection_gram"]
+__all__ = ["min_intersection_gram", "min_intersection_gram_rounds"]
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -66,8 +66,7 @@ def _min_gram_kernel(a_ref, b_ref, out_ref):
     out_ref[:] += jnp.sum(m, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _min_gram_pallas(A, B, interpret):
+def _pallas_min_gram(A, B, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -90,11 +89,64 @@ def _min_gram_pallas(A, B, interpret):
     )(A, B)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _min_gram_pallas(A, B, interpret):
+    return _pallas_min_gram(A, B, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _min_gram_rounds_impl(A, B, use_pallas, interpret, TI, TJ):
+    """[R, n, L] x [R, m, L] -> [R, n, m], the R kernels in ONE
+    dispatch (the static round loop unrolls at trace time)."""
+    outs = []
+    for r in range(A.shape[0]):
+        if use_pallas:
+            outs.append(_pallas_min_gram(A[r], B[r], interpret))
+        else:
+            outs.append(_min_gram_impl(A[r], B[r], TI, TJ))
+    return jnp.stack(outs)
+
+
 def _pad_to(x, rows, cols):
     r, c = x.shape
     if r != rows or c != cols:
         x = jnp.pad(x, ((0, rows - r), (0, cols - c)))
     return x
+
+
+def min_intersection_gram_rounds(A, B=None, tile=64, force_pallas=None):
+    """Stacked variant: A [R, n, L], B [R, m, L] -> DEVICE array
+    [R, n, m] of per-round intersection counts, computed in one
+    dispatch.  Callers fetch it themselves — for integer-valued
+    histograms (NeighborhoodHash) that means lossless byte planes
+    (ops/gram.fetch_gram) instead of R full f32 Gram transfers."""
+    A = jnp.asarray(np.asarray(A), jnp.float32)
+    B = A if B is None else jnp.asarray(np.asarray(B), jnp.float32)
+    R, n, L = A.shape
+    m = B.shape[1]
+    backend = jax.default_backend()
+    use_pallas = (backend not in ("cpu",)) if force_pallas is None \
+        else force_pallas
+    if use_pallas:
+        Lp = -(-L // _TL) * _TL
+        npad = -(-n // _TI) * _TI
+        mpad = -(-m // _TJ) * _TJ
+        TI = TJ = 0
+    else:
+        TI = min(tile, max(8, n))
+        TJ = min(tile, max(8, m))
+        npad = -(-n // TI) * TI
+        mpad = -(-m // TJ) * TJ
+        Lp = L
+    if (npad, Lp) != (n, L):
+        A = jnp.pad(A, ((0, 0), (0, npad - n), (0, Lp - L)))
+    if (mpad, Lp) != (m, L):
+        B = jnp.pad(B, ((0, 0), (0, mpad - m), (0, Lp - L)))
+    # return the PADDED device array (pad rows/cols are zeros): slicing
+    # here would queue another device op, and callers want to fetch the
+    # whole stack in one (byte-plane) transfer and slice on host
+    return _min_gram_rounds_impl(A, B, use_pallas, backend == "cpu",
+                                 TI, TJ)
 
 
 def min_intersection_gram(A, B=None, tile=64, force_pallas=None):

@@ -46,6 +46,11 @@ DATASETS = {
                  r_connectivity=(0.07, 0.15), features=("nl", 37)),
     "IMDB-B": dict(n_graphs=1000, r_vertices=(12, 28),
                    r_connectivity=(0.4, 0.6), features=None),
+    # REDDIT-BINARY scale: 2000 graphs, avg ~430 vertices / ~500 edges
+    # (sparse).  The reference OOMs/TIMEOUTs on most kernels here
+    # (evaluation.rst:63-100) — this is the scaling demonstration.
+    "REDDIT-B": dict(n_graphs=2000, r_vertices=(100, 760),
+                     r_connectivity=(0.0035, 0.0075), features=None),
 }
 
 # published baseline wall seconds (BASELINE.md §A/§B); None = not published
@@ -79,6 +84,25 @@ PUBLISHED = {
     ("WL-VH", "IMDB-B"): 4.49,
     ("SP", "IMDB-B"): 11.51,
     ("PK", "IMDB-B"): 7.41,
+    ("VH", "IMDB-B"): 0.07,
+    ("RW", "IMDB-B"): 440.94,
+    ("RW", "ENZYMES"): 15856.26,
+    ("Lo-theta", "IMDB-B"): 19167.17,
+    ("WL-PM", "MUTAG"): 222.07,
+    ("WL-PM", "ENZYMES"): 3937.26,
+    ("SM", "ENZYMES"): 12343.59,
+    ("GH", "IMDB-B"): 131.15,
+    ("ML", "IMDB-B"): 4926.04,
+    # REDDIT-B column (evaluation.rst:63-100)
+    ("VH", "REDDIT-B"): 0.67,
+    ("WL-VH", "REDDIT-B"): 962.65,
+    ("NH", "REDDIT-B"): 1383.42,
+    ("PK", "REDDIT-B"): 83.42,
+    ("ODD-STh", "REDDIT-B"): 113.50,
+    ("PM", "REDDIT-B"): 609.24,
+    ("SVM-theta", "REDDIT-B"): 1164.73,
+    ("SP", "REDDIT-B"): 17291.19,
+    ("GR", "REDDIT-B"): 2685.42,
 }
 
 
@@ -99,6 +123,9 @@ def _kernels():
             base_graph_kernel=(gt.WeisfeilerLehman, {})),
         "CORE-SP": lambda: gt.CoreFramework(
             base_graph_kernel=(gt.ShortestPath, {})),
+        "WL-PM": lambda: gt.WeisfeilerLehman(
+            n_iter=5, base_graph_kernel=(gt.PyramidMatch, {})),
+        "Lo-theta": lambda: gt.LovaszTheta(random_state=42),
         "RW": lambda: gt.RandomWalk(lamda=0.01),
         "SM": lambda: gt.SubgraphMatching(k=3),
         "GH": lambda: gt.GraphHopper(),
@@ -113,24 +140,26 @@ def _kernels():
 
 # which (kernel, dataset) cells to run; order = fast first
 PLAN = [
-    ("VH", ["MUTAG", "ENZYMES", "NCI1"]),
-    ("WL-VH", ["MUTAG", "ENZYMES", "NCI1"]),
-    ("SP", ["MUTAG", "ENZYMES", "NCI1"]),
-    ("NH", ["MUTAG", "ENZYMES", "NCI1"]),
-    ("PK", ["MUTAG", "ENZYMES", "NCI1"]),
-    ("PM", ["MUTAG", "ENZYMES", "NCI1"]),
-    ("ODD-STh", ["MUTAG", "ENZYMES", "NCI1"]),
-    ("NSPDK", ["MUTAG", "ENZYMES", "NCI1"]),
+    ("VH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("WL-VH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("SP", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("NH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("PK", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("PM", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("ODD-STh", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("NSPDK", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B"]),
     ("WL-OA", ["MUTAG", "ENZYMES"]),
     ("CORE-WL", ["MUTAG", "ENZYMES", "NCI1"]),
     ("CORE-SP", ["MUTAG", "ENZYMES", "NCI1"]),
     ("WL-SP", ["MUTAG", "ENZYMES", "NCI1"]),
-    ("SVM-theta", ["MUTAG", "IMDB-B"]),
+    ("SVM-theta", ["MUTAG", "IMDB-B", "REDDIT-B"]),
     ("GR", ["MUTAG", "IMDB-B"]),
-    ("RW", ["MUTAG"]),
+    ("RW", ["MUTAG", "ENZYMES", "IMDB-B"]),
     ("SM", ["MUTAG"]),
-    ("GH", ["MUTAG", "ENZYMES"]),
-    ("ML", ["MUTAG"]),
+    ("GH", ["MUTAG", "ENZYMES", "IMDB-B"]),
+    ("ML", ["MUTAG", "IMDB-B"]),
+    ("Lo-theta", ["MUTAG", "IMDB-B"]),
+    ("WL-PM", ["MUTAG", "ENZYMES"]),
 ]
 
 QUICK_PLAN = [(k, [d for d in ds if d == "MUTAG"]) for k, ds in PLAN]
@@ -199,39 +228,58 @@ def main():
             sp = f"  ({base / secs:8.1f}x)" if base else ""
             print(f"{kname:10s} {dname:8s} {secs:9.3f}s{sp}", flush=True)
 
-    # ---- emit markdown ------------------------------------------------ #
+    # ---- merge into the existing json, regenerate the md from it ----- #
+    # (partial runs used to OVERWRITE the json and leave the md stale;
+    # now every run merges its cells and the md is always re-derived
+    # from the full merged set, so the two can never disagree)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    dnames = ["MUTAG", "ENZYMES", "NCI1", "IMDB-B"]
+    merged = {}
+    if os.path.exists(args.json):
+        with open(args.json) as f:
+            merged = json.load(f)
+    for (k, d), v in results.items():
+        if v is not None:
+            merged[f"{k}/{d}"] = v
+    with open(args.json, "w") as f:
+        json.dump(merged, f, indent=1)
+
+    dnames = ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]
+    kernel_order = [k for k, _ in PLAN]
+    for key in merged:
+        k = key.split("/")[0]
+        if k not in kernel_order:
+            kernel_order.append(k)
     lines = [
         "# Benchmarks — grakel_tpu vs the reference's published study",
         "",
-        "Gram-matrix wall seconds (min of %d runs, compile excluded by the"
-        % args.repeats,
+        "Gram-matrix wall seconds (min of 2 runs, compile excluded by the",
         "repeat) on one TPU v5e chip behind a network tunnel, on synthetic",
-        "datasets matching the published statistics (BASELINE.md §E).",
+        "datasets matching the published statistics (BASELINE.md §E;",
+        "REDDIT-B = 2000 graphs, ~430 avg vertices — the scale where the",
+        "reference OOMs/TIMEOUTs on most kernels).",
         "Baseline = the reference's published single-thread CPU numbers",
         "(BASELINE.md §A/§B, Xeon E7-4860 @2.27 GHz).  `--` = cell not run",
         "or not published.",
         "",
         "| Kernel | " + " | ".join(
-            f"{d} ours | {d} ref | speedup" for d in dnames) + " |",
+            f"{d} ours | ref | x" for d in dnames) + " |",
         "|---|" + "---|" * (3 * len(dnames)),
     ]
-    for kname, _ in plan:
+    for kname in kernel_order:
         row = [kname]
+        any_cell = False
         for d in dnames:
-            secs = results.get((kname, d))
+            secs = merged.get(f"{kname}/{d}")
             base = PUBLISHED.get((kname, d))
-            row.append(f"{secs:.3f}s" if secs is not None else "--")
+            any_cell = any_cell or secs is not None
+            row.append(f"{secs:.2f}s" if secs is not None else "--")
             row.append(f"{base:.2f}s" if base else "--")
             row.append(f"{base / secs:.0f}x" if secs and base else "--")
-        lines.append("| " + " | ".join(row) + " |")
+        if any_cell:
+            lines.append("| " + " | ".join(row) + " |")
     lines.append("")
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
-    with open(args.json, "w") as f:
-        json.dump({f"{k}/{d}": v for (k, d), v in results.items()}, f,
-                  indent=1)
     print("wrote", args.out)
 
 
