@@ -124,22 +124,31 @@ class Kernel(BaseEstimator, TransformerMixin):
         self.initialize()
         if X is None:
             raise ValueError("fit input cannot be None")
-        self.X = self.parse_input(X)
+        from ..profiling import StageTimer
+        self.timer_ = StageTimer()
+        with self.timer_.stage("parse"):
+            self.X = self.parse_input(X)
         self._X_diag = None
         return self
 
     def fit_transform(self, X, y=None):
         self._method_calling = 2
         self.fit(X)
-        K = self._compute_symmetric(self.X)
+        if not hasattr(self, "timer_"):  # subclass-overridden fit
+            from ..profiling import StageTimer
+            self.timer_ = StageTimer()
+        with self.timer_.stage("gram"):
+            K = self._compute_symmetric(self.X)
         self._K_fit = K
         if self.normalize and not self._inherently_normalized:
-            d = np.diagonal(K).copy()
-            self._X_diag = d
-            # plain division — zero self-kernels yield NaN like the
-            # reference (kernel.py:200-204 has no nan guard)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                K = np.asarray(K, np.float64) / np.sqrt(np.outer(d, d))
+            with self.timer_.stage("normalize"):
+                d = np.diagonal(K).copy()
+                self._X_diag = d
+                # plain division — zero self-kernels yield NaN like the
+                # reference (kernel.py:200-204 has no nan guard)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    K = np.asarray(K, np.float64) / np.sqrt(np.outer(d, d))
+        self._report_stages()
         return np.asarray(K)
 
     def transform(self, X):
@@ -148,16 +157,33 @@ class Kernel(BaseEstimator, TransformerMixin):
             raise NotFittedError("call fit before transform")
         if X is None:
             raise ValueError("transform input cannot be None")
-        Y = self.parse_input(X)
-        K = self._compute_rectangular(Y, self.X)
+        from ..profiling import StageTimer
+        if not hasattr(self, "timer_"):
+            self.timer_ = StageTimer()
+        with self.timer_.stage("parse_y"):
+            Y = self.parse_input(X)
+        with self.timer_.stage("gram_y"):
+            K = self._compute_rectangular(Y, self.X)
         self._Y = Y
         self._is_transformed = True
         if self.normalize and not self._inherently_normalized:
-            Xd, Yd = self.diagonal()
-            with np.errstate(divide="ignore", invalid="ignore"):
-                K = np.asarray(K, np.float64) / np.sqrt(
-                    np.outer(Yd, Xd))
+            with self.timer_.stage("normalize_y"):
+                Xd, Yd = self.diagonal()
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    K = np.asarray(K, np.float64) / np.sqrt(
+                        np.outer(Yd, Xd))
+        self._report_stages()
         return np.asarray(K)
+
+    def _report_stages(self):
+        """Per-stage wall-time breakdown (``timer_`` is always
+        populated; verbose prints it — the split that matters on a
+        tunneled backend is host parse vs device gram vs transfer)."""
+        if self.verbose:
+            import sys
+            print("[%s] stages:\n%s"
+                  % (type(self).__name__, self.timer_.report()),
+                  file=sys.stderr)
 
     def diagonal(self):
         """Self-kernel values of fit (and transform, if called) inputs.

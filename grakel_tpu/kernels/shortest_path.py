@@ -167,6 +167,7 @@ class ShortestPath(Kernel):
             self._enum = {}
         elif not hasattr(self, "_enum"):
             raise ValueError("fit before transform")
+        from ..batch import enumerate_labels
         buckets = []
         unit = True
         for V, idxs in sorted(_size_buckets(graphs).items()):
@@ -176,7 +177,10 @@ class ShortestPath(Kernel):
             M = np.zeros((nb, V), dtype=bool)
             for bi, gi in enumerate(idxs):
                 g = graphs[gi]
-                A[bi, :g.n, :g.n] = g.get_adjacency_matrix()
+                if len(g.senders):
+                    # COO scatter — never materializes the per-graph
+                    # dense adjacency a second time
+                    A[bi, g.senders, g.receivers] = g.weights
                 M[bi, :g.n] = True
                 if self.with_labels:
                     labs = g.get_labels(label_type="vertex",
@@ -185,13 +189,8 @@ class ShortestPath(Kernel):
                         raise ValueError(
                             "ShortestPath with_labels=True requires "
                             "node-labeled graphs")
-                    for v in range(g.n):
-                        lab = labs[v]
-                        idx = self._enum.get(lab)
-                        if idx is None:
-                            idx = len(self._enum)
-                            self._enum[lab] = idx
-                        L[bi, v] = idx
+                    L[bi, :g.n] = enumerate_labels(
+                        [labs[v] for v in range(g.n)], self._enum)
             if unit:
                 w = A[A != 0]
                 if w.size and not np.all(w == 1.0):

@@ -108,10 +108,18 @@ def main():
                           prefer_attr_nodes=(name == "Cuneiform"),
                           prefer_attr_edges=False)
         data[name] = (bunch.data, np.asarray(bunch.target))
-    # size-sorted MUTAG for kernels whose reference stand-in is O(V^k)
+    # size-sorted MUTAG, classes interleaved so any prefix is balanced
+    # (for kernels whose reference stand-in is O(V^k))
     X, y = data["MUTAG"]
     order = sorted(range(len(X)), key=lambda i: len(X[i][1]))
-    data["MUTAG-small"] = ([X[i] for i in order], y[np.asarray(order)])
+    by_cls = {}
+    for i in order:
+        by_cls.setdefault(int(y[i]), []).append(i)
+    inter = []
+    lists = list(by_cls.values())
+    for j in range(max(map(len, lists))):
+        inter.extend(l[j] for l in lists if j < len(l))
+    data["MUTAG-small"] = ([X[i] for i in inter], y[np.asarray(inter)])
 
     rows = []
     for label, ctor, params, dname, cap in _kernel_specs():
@@ -146,6 +154,20 @@ def main():
                  if acc_ref is not None else "n/a")
         print(f"{label:26s} {dname:9s} n={n:3d} "
               f"ours={acc_our:.3f}±{std_our:.3f} ref={ref_s}", flush=True)
+
+    # merge with previous runs (per-kernel json cache), regenerate md
+    import json
+    jpath = os.path.splitext(args.out)[0] + ".json"
+    merged = {}
+    if os.path.exists(jpath):
+        with open(jpath) as f:
+            merged = json.load(f)
+    for label, dname, n, ao, so, ar, sr in rows:
+        merged[label] = [dname, n, ao, so, ar, sr]
+    with open(jpath, "w") as f:
+        json.dump(merged, f, indent=1)
+    order = [s[0] for s in _kernel_specs()]
+    rows = [(label, *merged[label]) for label in order if label in merged]
 
     lines = [
         "# Downstream SVM accuracy — ours vs the reference",
