@@ -105,6 +105,16 @@ def _sp_fused_gram(As, Ls, Ms, gidxs, n, L, D, n_chunks, chunk):
     dispatch costs ~26 ms and the old path paid 2 per bucket plus a
     blocking scalar fetch for the observed max distance."""
     from ..ops.gram import chunked_counts_gram_raw
+    # ONE gram over the concatenated streams (cross-bucket products!)
+    ids, gids, flat_valid = _fused_stream(As, Ls, Ms, gidxs, L, D)
+    ones = jnp.ones(ids.shape[0], jnp.float32)
+    return chunked_counts_gram_raw(gids, ids, ones, flat_valid, n,
+                                   n_chunks, chunk)
+
+
+def _fused_stream(As, Ls, Ms, gidxs, L, D):
+    """Traceable: per-bucket FW -> flat (ids, gids, valid) streams,
+    concatenated across buckets."""
     ids_l, gids_l, val_l = [], [], []
     for A, Lb, M, idxs in zip(As, Ls, Ms, gidxs):
         S = batched_floyd_warshall(A, M)
@@ -118,13 +128,26 @@ def _sp_fused_gram(As, Ls, Ms, gidxs, n, L, D, n_chunks, chunk):
         gids_l.append(jnp.broadcast_to(
             idxs[:, None, None], (A.shape[0], V, V)).reshape(-1))
         val_l.append(valid.reshape(-1))
-    # ONE gram over the concatenated streams (cross-bucket products!)
-    ids = jnp.concatenate(ids_l)
-    gids = jnp.concatenate(gids_l)
-    flat_valid = jnp.concatenate(val_l)
-    ones = jnp.ones(ids.shape[0], jnp.float32)
-    return chunked_counts_gram_raw(gids, ids, ones, flat_valid, n,
-                                   n_chunks, chunk)
+    return (jnp.concatenate(ids_l), jnp.concatenate(gids_l),
+            jnp.concatenate(val_l))
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11, 12))
+def _sp_fused_rect(Ax, Ay, Lx, Ly, Mx, My, gx, gy,
+                   nx, ny, L, D, W):
+    """Transform-time direct path in ONE dispatch: FW + ids for BOTH
+    sides, the rectangular counts-GEMM (rows = Y), and Y's diagonal."""
+    from ..ops.gram import chunk_plan, _coo_gram_rect_impl, \
+        _counts_diag_impl
+    xi, xg, xv = _fused_stream(Ax, Lx, Mx, gx, L, D)
+    yi, yg, yv = _fused_stream(Ay, Ly, My, gy, L, D)
+    ones_x = jnp.ones(xi.shape[0], jnp.float32)
+    ones_y = jnp.ones(yi.shape[0], jnp.float32)
+    nc, ch = chunk_plan(W)
+    K = _coo_gram_rect_impl(yg, yi, ones_y, yv, xg, xi, ones_x, xv,
+                            ny, nx, nc, ch)
+    ydiag = _counts_diag_impl(yg, yi, ones_y, yv, ny, nc, ch)
+    return K, ydiag
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -336,6 +359,21 @@ class ShortestPath(Kernel):
         ok, L = self._direct_eligible(px, py)
         nx, ny = px["n"], py["n"]
         if ok:
+            D = max(px["max_V"], py["max_V"])
+            if L * L * D <= self._DIRECT_MAX_WIDTH:
+                # fused one-dispatch rect path (static distance bound)
+                def parts(p):
+                    return (tuple(jnp.asarray(b[1]) for b in p["buckets"]),
+                            tuple(jnp.asarray(b[2]) for b in p["buckets"]),
+                            tuple(jnp.asarray(b[3]) for b in p["buckets"]),
+                            tuple(jnp.asarray(b[0]) for b in p["buckets"]))
+                Ax, Lx, Mx, gx = parts(px)
+                Ay, Ly, My, gy = parts(py)
+                K, ydiag = _sp_fused_rect(
+                    Ax, Ay, Lx, Ly, Mx, My, gx, gy, nx, ny, L, D,
+                    bucket_size(L * L * D))
+                self._Y_diag_cache = np.asarray(ydiag)
+                return fetch_gram(K)
             fwx, dmx = self._fw_all(px)
             fwy, dmy = self._fw_all(py)
             D = int(max(dmx, dmy)) + 1
