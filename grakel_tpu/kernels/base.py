@@ -35,7 +35,37 @@ from sklearn.utils import check_random_state
 from ..graph import Graph
 from ..ops.gram import gram_gemm, gram_rect, normalize_gram
 
-__all__ = ["Kernel", "normalize_input"]
+__all__ = ["Kernel", "normalize_input", "parallel_sum"]
+
+
+def parallel_sum(thunks, n_jobs):
+    """Run result-producing thunks and return the sum of their outputs.
+
+    The per-iteration framework dispatch: WL and HadamardCode hand one
+    base-kernel job per label generation to this helper, the analog of
+    the reference's joblib threading over iterations (reference
+    weisfeiler_lehman.py:255-262, hadamard_code.py:240-251).  ``n_jobs``
+    ``None``/``0``/``1`` runs sequentially; ``-1`` uses one thread per
+    job; ``k > 1`` caps the pool at ``k``.  Threading (not processes) is
+    the right backend here for the same reason it is in the reference:
+    the heavy lifting happens outside the GIL (XLA dispatch, BLAS,
+    native ops).
+    """
+    thunks = list(thunks)
+    if not thunks:
+        return None
+    if n_jobs in (None, 0, 1) or len(thunks) == 1:
+        outs = [t() for t in thunks]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        w = len(thunks) if n_jobs < 0 else min(n_jobs, len(thunks))
+        with ThreadPoolExecutor(max_workers=w) as ex:
+            outs = list(ex.map(lambda t: t(), thunks))
+    acc = outs[0]
+    for r in outs[1:]:
+        if r is not None:
+            acc = acc + r
+    return acc
 
 
 def normalize_input(X):

@@ -299,25 +299,29 @@ class HadamardCode(Kernel):
             yield materialize(labels)
 
     def _host_fit(self, with_gram):
+        """Per-iteration base-kernel dispatch through
+        :func:`grakel_tpu.kernels.base.parallel_sum` when ``n_jobs`` is
+        set (reference hadamard_code.py:240-251 joblib analog)."""
+        from .base import parallel_sum
         self._base_kernels = {}
-        K = None
+        jobs = []
         for i, gen in enumerate(self._host_generations(self.X, self._enum)):
             bk = self._base_cls(normalize=False, verbose=self.verbose,
                                 **self._base_params)
             self._base_kernels[i] = bk
             if with_gram:
-                Ki = bk.fit_transform(gen)
-                K = Ki if K is None else K + Ki
+                jobs.append(lambda bk=bk, gen=gen: bk.fit_transform(gen))
             else:
-                bk.fit(gen)
-        return K
+                jobs.append(lambda bk=bk, gen=gen: bk.fit(gen) and None)
+        K = parallel_sum(jobs, self.n_jobs)
+        return K if with_gram else None
 
     def _host_transform(self, Y, enum_t):
-        K = None
-        for i, gen in enumerate(self._host_generations(Y, enum_t)):
-            Ki = self._base_kernels[i].transform(gen)
-            K = Ki if K is None else K + Ki
-        return K
+        from .base import parallel_sum
+        jobs = [
+            lambda bk=self._base_kernels[i], gen=gen: bk.transform(gen)
+            for i, gen in enumerate(self._host_generations(Y, enum_t))]
+        return parallel_sum(jobs, self.n_jobs)
 
     def _host_diag(self, side):
         d = None

@@ -377,26 +377,32 @@ class WeisfeilerLehman(Kernel):
                 for i, g in enumerate(graphs)]
 
     def _host_fit(self, graphs, with_gram):
+        """One base-kernel instance per generation; generations refined
+        sequentially (each depends on the previous relabeling) but the
+        base-kernel Grams dispatched through :func:`parallel_sum` when
+        ``n_jobs`` is set — the reference's per-iteration joblib
+        parallelism (weisfeiler_lehman.py:255-262)."""
+        from .base import parallel_sum
         self._base_kernels = {}
-        K = None
+        jobs = []
         for i, gen in enumerate(self._host_generations(graphs)):
             bk = self._base_cls(normalize=False, verbose=self.verbose,
                                 **self._base_params)
             self._base_kernels[i] = bk
             if with_gram:
-                Ki = bk.fit_transform(gen)
-                K = Ki if K is None else K + Ki
+                jobs.append(lambda bk=bk, gen=gen: bk.fit_transform(gen))
             else:
-                bk.fit(gen)
-        return K
+                jobs.append(lambda bk=bk, gen=gen: bk.fit(gen) and None)
+        K = parallel_sum(jobs, self.n_jobs)
+        return K if with_gram else None
 
     def _host_transform(self, Y):
-        K = None
-        for i, gen in enumerate(
-                self._host_generations(Y, inv_labels=self._inv_labels)):
-            Ki = self._base_kernels[i].transform(gen)
-            K = Ki if K is None else K + Ki
-        return K
+        from .base import parallel_sum
+        jobs = [
+            lambda bk=self._base_kernels[i], gen=gen: bk.transform(gen)
+            for i, gen in enumerate(
+                self._host_generations(Y, inv_labels=self._inv_labels))]
+        return parallel_sum(jobs, self.n_jobs)
 
     def _host_diag_x(self):
         d = None

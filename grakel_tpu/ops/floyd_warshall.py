@@ -14,10 +14,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["batched_floyd_warshall", "INF"]
 
-INF = jnp.float32(3.4e38) / 4  # safe to add two of these without overflow
+# safe to add two of these without f32 overflow.  MUST be a HOST scalar
+# (np, not jnp): a module-level jnp scalar is a committed device array,
+# and every jit trace closing over it embeds it as an MLIR constant via
+# a synchronous device->host fetch — on the tunneled axon backend that
+# one fetch costs SECONDS per enclosing (sub)computation, which made the
+# fused ShortestPath program take minutes to lower.
+INF = np.float32(3.4e38 / 4)
 
 
 @jax.jit

@@ -141,3 +141,21 @@ def test_verbose_pairwise_progress(capsys):
     k = SubgraphMatching(verbose=True, k=3)
     k.fit_transform(gs)
     assert "pairwise" in capsys.readouterr().err
+
+
+def test_framework_per_iteration_parallelism(labeled_data):
+    """WL/HC general-path Grams are identical with threaded per-iteration
+    base-kernel dispatch (reference weisfeiler_lehman.py:255-262 analog)."""
+    train, test = labeled_data
+    for name, params in [
+            ("WeisfeilerLehman",
+             {"n_iter": 3, "base_graph_kernel": (K.ShortestPath, {})}),
+            ("HadamardCode",
+             {"n_iter": 3, "base_graph_kernel": (K.ShortestPath, {})})]:
+        cls = getattr(K, name)
+        seq = cls(**params)
+        par = cls(n_jobs=-1, **params)
+        np.testing.assert_allclose(par.fit_transform(train),
+                                   seq.fit_transform(train), rtol=1e-6)
+        np.testing.assert_allclose(par.transform(test),
+                                   seq.transform(test), rtol=1e-6)

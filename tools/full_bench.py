@@ -181,6 +181,18 @@ def load(name, features=None):
     return train
 
 
+def _flush_cell(path, kname, dname, secs):
+    """Merge one measured cell into the json immediately — a killed or
+    timed-out run keeps everything it measured."""
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged[f"{kname}/{dname}"] = secs
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(HERE, "docs",
@@ -227,6 +239,7 @@ def main():
             base = PUBLISHED.get((kname, dname))
             sp = f"  ({base / secs:8.1f}x)" if base else ""
             print(f"{kname:10s} {dname:8s} {secs:9.3f}s{sp}", flush=True)
+            _flush_cell(args.json, kname, dname, secs)
 
     # ---- merge into the existing json, regenerate the md from it ----- #
     # (partial runs used to OVERWRITE the json and leave the md stale;
