@@ -62,7 +62,10 @@ def is_adjacency(g, transform=False):
             if transform:
                 raise ValueError("numpy adjacency input must be a square 2-D array")
             return False
-        return (True, g.astype(np.float64)) if transform else True
+        # copy=False: numeric inputs pass through; the Graph never
+        # mutates the pending adjacency (get_adjacency_matrix copies)
+        return (True, g.astype(np.float64, copy=False)) if transform \
+            else True
     if isinstance(g, list):
         n = len(g)
         ok = n > 0 and all(isinstance(r, list) and len(r) == n for r in g)
@@ -139,22 +142,88 @@ class Graph(object):
                  edge_labels=None, graph_format="auto"):
         self._format_hint = graph_format
         self.n = 0
-        self.senders = np.zeros(0, dtype=np.int32)
-        self.receivers = np.zeros(0, dtype=np.int32)
-        self.weights = np.zeros(0, dtype=np.float32)
+        self._senders = np.zeros(0, dtype=np.int32)
+        self._receivers = np.zeros(0, dtype=np.int32)
+        self._weights = np.zeros(0, dtype=np.float32)
+        self._adj_pending = None  # adjacency awaiting lazy COO extraction
         self.node_labels = {}
         self.edge_labels = {}
-        self.index_of = {}       # symbol -> index
-        self.symbol_of = {}      # index -> symbol
+        self._index_of = {}      # symbol -> index; None = identity 0..n-1
+        self._symbol_of = {}     # index -> symbol; None = identity
         self._cache = {}
         if initialization_object is not None:
             self.build_graph(initialization_object, node_labels, edge_labels)
+
+    # --- lazy COO view ------------------------------------------------- #
+    # Adjacency inputs defer the (costly) np.nonzero scan until some
+    # consumer actually needs edges: VertexHistogram/EdgeHistogram-style
+    # parses read only labels, and at REDDIT scale the eager scan was
+    # the single largest cost of the whole kernel.
+    def _extract_coo(self):
+        A = self._adj_pending
+        self._adj_pending = None
+        s, r = np.nonzero(A)
+        self._senders = s.astype(np.int32)
+        self._receivers = r.astype(np.int32)
+        self._weights = A[s, r].astype(np.float32)
+
+    @property
+    def senders(self):
+        if self._adj_pending is not None:
+            self._extract_coo()
+        return self._senders
+
+    @senders.setter
+    def senders(self, v):
+        self._senders = v
+
+    @property
+    def receivers(self):
+        if self._adj_pending is not None:
+            self._extract_coo()
+        return self._receivers
+
+    @receivers.setter
+    def receivers(self, v):
+        self._receivers = v
+
+    @property
+    def weights(self):
+        if self._adj_pending is not None:
+            self._extract_coo()
+        return self._weights
+
+    @weights.setter
+    def weights(self, v):
+        self._weights = v
+
+    # --- lazy identity symbol maps ------------------------------------- #
+    @property
+    def index_of(self):
+        if self._index_of is None:
+            self._index_of = {i: i for i in range(self.n)}
+        return self._index_of
+
+    @index_of.setter
+    def index_of(self, v):
+        self._index_of = v
+
+    @property
+    def symbol_of(self):
+        if self._symbol_of is None:
+            self._symbol_of = {i: i for i in range(self.n)}
+        return self._symbol_of
+
+    @symbol_of.setter
+    def symbol_of(self, v):
+        self._symbol_of = v
 
     # ------------------------------------------------------------------ #
     # construction
     # ------------------------------------------------------------------ #
     def build_graph(self, g, node_labels=None, edge_labels=None):
         self._cache = {}
+        self._adj_pending = None
         ok_adj = is_adjacency(g)
         if ok_adj and self._format_hint != "dictionary":
             _, A = is_adjacency(g, transform=True)
@@ -171,12 +240,9 @@ class Graph(object):
 
     def _from_adjacency(self, A):
         self.n = A.shape[0]
-        s, r = np.nonzero(A)
-        self.senders = s.astype(np.int32)
-        self.receivers = r.astype(np.int32)
-        self.weights = A[s, r].astype(np.float32)
-        self.index_of = {i: i for i in range(self.n)}
-        self.symbol_of = {i: i for i in range(self.n)}
+        self._adj_pending = A    # COO extracted lazily (see senders)
+        self._index_of = None    # identity, materialized on demand
+        self._symbol_of = None
 
     def _from_edge_dict(self, ed):
         # natural sort when keys are mutually comparable (ints etc.) to
@@ -203,20 +269,40 @@ class Graph(object):
 
     def _attach_labels(self, node_labels, edge_labels):
         self.node_labels = {}
+        identity = self._index_of is None
         if node_labels:
-            for k, v in node_labels.items():
-                idx = self.index_of.get(k, k if isinstance(k, (int, np.integer)) and 0 <= k < self.n else None)
-                if idx is not None and 0 <= int(idx) < self.n:
-                    self.node_labels[int(idx)] = v
+            if identity:
+                # adjacency inputs key labels by index already; skip the
+                # per-key map lookup (at REDDIT scale it dominated parse)
+                n = self.n
+                try:
+                    self.node_labels = {
+                        int(k): v for k, v in node_labels.items()
+                        if 0 <= int(k) < n}
+                except (TypeError, ValueError):
+                    identity = False
+            if not identity:
+                for k, v in node_labels.items():
+                    idx = self.index_of.get(k, k if isinstance(
+                        k, (int, np.integer)) and 0 <= k < self.n else None)
+                    if idx is not None and 0 <= int(idx) < self.n:
+                        self.node_labels[int(idx)] = v
         self.edge_labels = {}
         if edge_labels:
-            for (u, v), lab in edge_labels.items():
-                ui = self.index_of.get(u, u)
-                vi = self.index_of.get(v, v)
-                try:
-                    self.edge_labels[(int(ui), int(vi))] = lab
-                except (TypeError, ValueError):
-                    continue
+            if self._index_of is None:
+                for (u, v), lab in edge_labels.items():
+                    try:
+                        self.edge_labels[(int(u), int(v))] = lab
+                    except (TypeError, ValueError):
+                        continue
+            else:
+                for (u, v), lab in edge_labels.items():
+                    ui = self.index_of.get(u, u)
+                    vi = self.index_of.get(v, v)
+                    try:
+                        self.edge_labels[(int(ui), int(vi))] = lab
+                    except (TypeError, ValueError):
+                        continue
 
     @classmethod
     def from_arrays(cls, n, senders, receivers, weights=None,
@@ -228,8 +314,8 @@ class Graph(object):
         g.receivers = np.asarray(receivers, dtype=np.int32)
         g.weights = (np.ones(len(g.senders), np.float32) if weights is None
                      else np.asarray(weights, dtype=np.float32))
-        g.index_of = {i: i for i in range(g.n)}
-        g.symbol_of = dict(g.index_of)
+        g._index_of = None       # identity, materialized on demand
+        g._symbol_of = None
         g.node_labels = dict(node_labels) if node_labels else {}
         g.edge_labels = dict(edge_labels) if edge_labels else {}
         return g
@@ -255,9 +341,14 @@ class Graph(object):
 
     def get_adjacency_matrix(self):
         if "adj" not in self._cache:
-            A = np.zeros((self.n, self.n), dtype=np.float64)
-            if len(self.senders):
-                A[self.senders, self.receivers] = self.weights
+            if self._adj_pending is not None:
+                # pending adjacency input: copy (callers may mutate the
+                # returned matrix) without forcing the COO extraction
+                A = np.array(self._adj_pending, dtype=np.float64)
+            else:
+                A = np.zeros((self.n, self.n), dtype=np.float64)
+                if len(self.senders):
+                    A[self.senders, self.receivers] = self.weights
             self._cache["adj"] = A
         return self._cache["adj"]
 

@@ -259,6 +259,25 @@ class OddSth(Kernel):
         vv[:len(g)] = True
         return gg, kk, ww, vv
 
+    # feature-space width above which the Gram is assembled on host as a
+    # scipy sparse product instead of the device chunked counts-GEMM:
+    # bigDAGs at REDDIT scale reach millions of distinct subtrees, where
+    # the chunk loop degenerates (n_chunks * nnz work) and the giant
+    # padded stream has crashed the TPU worker outright.  The sparse
+    # host product is O(sum of in-column pair products) — the natural
+    # cost of a ~1-nnz-per-row-per-column matrix.
+    _DEVICE_MAX_WIDTH = 1 << 20
+
+    @staticmethod
+    def _host_sparse_gram(g, k, w, n, m, D, rect_gk=None):
+        import scipy.sparse as sp
+        A = sp.csr_matrix((w, (g, k)), shape=(n, D))
+        if rect_gk is None:
+            return np.asarray((A @ A.T).toarray(), np.float64)
+        g2, k2, w2 = rect_gk
+        B = sp.csr_matrix((w2, (g2, k2)), shape=(m, D))
+        return np.asarray((A @ B.T).toarray(), np.float64)
+
     def fit_transform(self, X, y=None):
         self._method_calling = 2
         self.fit(X)
@@ -266,9 +285,12 @@ class OddSth(Kernel):
         D = len(big[0])
         L = bucket_size(max(D, 1))
         g, k, w = self._stream(big, range(self._nx))
-        gg, kk, ww, vv = self._pad(g, k, w)
-        km = np.asarray(coo_counts_gram(gg, kk, ww, vv, self._nx, L),
-                        np.float64)
+        if L > self._DEVICE_MAX_WIDTH:
+            km = self._host_sparse_gram(g, k, w, self._nx, self._nx, D)
+        else:
+            gg, kk, ww, vv = self._pad(g, k, w)
+            km = np.asarray(coo_counts_gram(gg, kk, ww, vv, self._nx, L),
+                            np.float64)
         self._X_diag = np.diagonal(km).copy()
         if self.normalize:
             return np.nan_to_num(normalize_gram(km, self._X_diag,
@@ -286,16 +308,26 @@ class OddSth(Kernel):
         gx, kx, wx = self._stream(full, range(self._nx))
         gy, ky, wy = self._stream(full, range(self._nx,
                                               self._nx + self._ny))
-        ga, ka, wa, va = self._pad(gy, ky, wy)
-        gb, kb, wb, vb = self._pad(gx, kx, wx)
-        km = np.asarray(coo_counts_gram_rect(
-            ga, ka, wa, va, gb, kb, wb, vb, self._ny, self._nx, L),
-            np.float64)
-        # diagonals from the joint bigDAG feature space
-        self._X_diag = np.asarray(
-            counts_diag(gb, kb, wb, vb, self._nx, L), np.float64)
-        self._Y_diag_cache = np.asarray(
-            counts_diag(ga, ka, wa, va, self._ny, L), np.float64)
+        if L > self._DEVICE_MAX_WIDTH:
+            km = self._host_sparse_gram(gy, ky, wy, self._ny, self._nx, D,
+                                        rect_gk=(gx, kx, wx))
+            dx = np.zeros(self._nx)
+            np.add.at(dx, gx, wx.astype(np.float64) ** 2)
+            dy = np.zeros(self._ny)
+            np.add.at(dy, gy, wy.astype(np.float64) ** 2)
+            self._X_diag = dx
+            self._Y_diag_cache = dy
+        else:
+            ga, ka, wa, va = self._pad(gy, ky, wy)
+            gb, kb, wb, vb = self._pad(gx, kx, wx)
+            km = np.asarray(coo_counts_gram_rect(
+                ga, ka, wa, va, gb, kb, wb, vb, self._ny, self._nx, L),
+                np.float64)
+            # diagonals from the joint bigDAG feature space
+            self._X_diag = np.asarray(
+                counts_diag(gb, kb, wb, vb, self._nx, L), np.float64)
+            self._Y_diag_cache = np.asarray(
+                counts_diag(ga, ka, wa, va, self._ny, L), np.float64)
         self._is_transformed = True
         if self.normalize:
             km = normalize_gram(km, self._Y_diag_cache, self._X_diag)

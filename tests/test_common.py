@@ -159,3 +159,22 @@ def test_framework_per_iteration_parallelism(labeled_data):
                                    seq.fit_transform(train), rtol=1e-6)
         np.testing.assert_allclose(par.transform(test),
                                    seq.transform(test), rtol=1e-6)
+
+
+def test_oddsth_host_sparse_gram_matches_device(labeled_data):
+    """The huge-bigDAG host sparse assembly (REDDIT-scale fallback)
+    equals the device chunked counts-GEMM path."""
+    train, test = labeled_data
+    dev = K.OddSth()
+    K_dev = dev.fit_transform(train)
+    Kt_dev = dev.transform(test)
+    host = K.OddSth()
+    host._DEVICE_MAX_WIDTH = 0    # force the sparse host path
+    np.testing.assert_allclose(host.fit_transform(train), K_dev,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(host.transform(test), Kt_dev,
+                               rtol=1e-5, atol=1e-6)
+    dx_d, dy_d = dev.diagonal()
+    dx_h, dy_h = host.diagonal()
+    np.testing.assert_allclose(dx_h, dx_d, rtol=1e-5)
+    np.testing.assert_allclose(dy_h, dy_d, rtol=1e-5)

@@ -202,6 +202,8 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
                     help="comma-separated kernel names to run")
+    ap.add_argument("--datasets", default=None,
+                    help="comma-separated dataset names to run")
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
@@ -209,6 +211,9 @@ def main():
     if args.only:
         keep = set(args.only.split(","))
         plan = [(k, ds) for k, ds in plan if k in keep]
+    if args.datasets:
+        dkeep = set(args.datasets.split(","))
+        plan = [(k, [d for d in ds if d in dkeep]) for k, ds in plan]
 
     kernels = _kernels()
     cache = {}
