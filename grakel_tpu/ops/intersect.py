@@ -149,6 +149,68 @@ def min_intersection_gram_rounds(A, B=None, tile=64, force_pallas=None):
                                  TI, TJ)
 
 
+_JACCARD_CPU = {}
+
+
+def jaccard_gram_rounds_cpu(A, B, va, vb, tile=64):
+    """NeighborhoodHash Gram on the XLA **CPU** backend:
+    ``K[i,j] = mean_r c_r[i,j] / (va[i] + vb[j] - c_r[i,j])`` with
+    ``c_r = sum_l min(A_r[i], B_r[j])`` and the 0/0 (empty-graph) case
+    mapped to 0.
+
+    A: [R, n, L] row-side histograms with vertex counts va [n];
+    B: [R, m, L] column-side with vb [m].
+    Rationale: the per-pair label space is tiny (2^bits columns), so
+    the min-reduce is ~R*n*m*L flops — small next to the cost of moving
+    an [R, n, m] count stack over a tunneled device link (measured on
+    NCI1 scale: ~0.5 s of TPU compute vs ~8 s of fetch + ~8 s of host
+    f64 broadcast arithmetic).  Computing the WHOLE Jaccard on XLA-CPU
+    keeps everything off the link and fuses the arithmetic.
+    """
+    key = ("jacc", A.shape, B.shape, tile)
+    fn = _JACCARD_CPU.get(key)
+    if fn is None:
+        cpu = jax.devices("cpu")[0]
+
+        def base(a, b, vx, vy):
+            R, n, L = a.shape
+            m = b.shape[1]
+            TI = min(tile, n)
+            TJ = min(tile, m)
+            ni = -(-n // TI)
+            nj = -(-m // TJ)
+            a = jnp.pad(a, ((0, 0), (0, ni * TI - n), (0, 0)))
+            b = jnp.pad(b, ((0, 0), (0, nj * TJ - m), (0, 0)))
+            vxp = jnp.pad(vx, (0, ni * TI - n))
+            vyp = jnp.pad(vy, (0, nj * TJ - m))
+
+            def tile_body(ij, K):
+                i = ij // nj
+                j = ij % nj
+                at = jax.lax.dynamic_slice(a, (0, i * TI, 0), (R, TI, L))
+                bt = jax.lax.dynamic_slice(b, (0, j * TJ, 0), (R, TJ, L))
+                c = jnp.sum(jnp.minimum(at[:, :, None, :],
+                                        bt[:, None, :, :]), axis=-1)
+                s = (jax.lax.dynamic_slice(vxp, (i * TI,), (TI,))[:, None]
+                     + jax.lax.dynamic_slice(vyp, (j * TJ,), (TJ,))[None, :])
+                denom = s[None] - c
+                t = jnp.where(denom > 0, c / denom, 0.0).mean(axis=0)
+                return jax.lax.dynamic_update_slice(K, t, (i * TI, j * TJ))
+
+            K0 = jnp.zeros((ni * TI, nj * TJ), jnp.float32)
+            K = jax.lax.fori_loop(0, ni * nj, tile_body, K0)
+            return K[:n, :m]
+
+        _JACCARD_CPU[key] = fn = (jax.jit(base, device=cpu), cpu)
+    base, cpu = fn
+    put = functools.partial(jax.device_put, device=cpu)
+    out = base(put(jnp.asarray(np.asarray(A), jnp.float32)),
+               put(jnp.asarray(np.asarray(B), jnp.float32)),
+               put(jnp.asarray(np.asarray(nx), jnp.float32)),
+               put(jnp.asarray(np.asarray(ny), jnp.float32)))
+    return np.asarray(out, np.float64)
+
+
 def min_intersection_gram(A, B=None, tile=64, force_pallas=None):
     """K[i, j] = sum_l min(A[i, l], B[j, l]); B defaults to A.
 
