@@ -40,27 +40,39 @@ from ..graph import dijkstra
 __all__ = ["GraphHopper"]
 
 
-def od_vectors_dag(G, shortestpath_dists):
-    """Occurrence/descendant DP over a shortest-path DAG
-    (reference :356-421)."""
-    dag_size = G.shape[0]
-    gen = shortestpath_dists + 1
-    gen_sorted = gen.argsort()
-    re_sorted = gen_sorted.argsort()
-    sortedG = G[gen_sorted, :][:, gen_sorted]
-    delta = int(np.max(gen))
-    occ = np.zeros((dag_size, delta), dtype=int)
-    occ[0, 0] = 1
-    des = np.zeros((dag_size, delta), dtype=int)
+def od_vectors_dag(dag, dist):
+    """Per-node occurrence / descendant path-count vectors of a
+    shortest-path DAG (the weighted-graph fallback; the unweighted fast
+    path computes the same quantities all-sources-at-once in
+    ``_hopper_tensor``).
+
+    ``dag[u, v] = 1`` means u sits one step nearer the source than v.
+    Returns ``(occ, des)`` where ``occ[v, a]`` counts the shortest paths
+    reaching v from the source in exactly ``a`` hops and ``des[v, c]``
+    counts the length-``c`` descending walks leaving v.  Same values as
+    the reference DP (graph_hopper.py:356-421), computed as one
+    forward push / backward pull over a distance-ordered sweep instead
+    of the reference's permuted-matrix double scan.
+    """
+    n = dag.shape[0]
+    width = int(np.max(dist + 1))
+    order = np.argsort(dist, kind="stable")
+    occ = np.zeros((n, width), dtype=int)
+    des = np.zeros((n, width), dtype=int)
+    occ[order[0], 0] = 1
     des[:, 0] = 1
-    for i in range(dag_size):
-        starts = np.where(sortedG[i, :] == 1)[0]
-        if starts.size:
-            occ[starts, 1:] += occ[i, :-1][None, :]
-        ends = np.where(sortedG[:, dag_size - i - 1] == 1)[0]
-        if ends.size:
-            des[ends, 1:] += des[dag_size - i - 1, :-1][None, :]
-    return occ[re_sorted, :], des[re_sorted, :]
+    # DAG edges strictly increase distance, so ascending-distance order
+    # is topological: push hop-shifted path counts source -> leaves ...
+    for u in order:
+        kids = np.flatnonzero(dag[u])
+        if kids.size:
+            occ[kids, 1:] += occ[u, :-1]
+    # ... and pull descent counts leaves -> source.
+    for v in order[::-1]:
+        kids = np.flatnonzero(dag[v])
+        if kids.size:
+            des[v, 1:] = des[kids, :-1].sum(axis=0)
+    return occ, des
 
 
 def linear_kernel(x, y):

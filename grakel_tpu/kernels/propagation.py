@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import warnings
 from collections import Counter
-from itertools import chain, filterfalse
 from numbers import Real
 
 import numpy as np
@@ -123,136 +122,156 @@ class Propagation(Kernel):
             return np.floor((X * u + b) / self.w)
         return np.floor((np.dot(X, u) + b) / self.w)
 
-    # ------------------------------------------------------------------ #
+    # ---------------------------------------------------------------- #
+    # hashing-pipeline helpers.  Everything below is numpy-vectorized:
+    # bucket ids come from one np.unique(..., return_inverse=True) per
+    # round, and only the (few) distinct hash values touch Python dicts.
+    # The RandomState draw order matches the reference exactly (one
+    # randn(width) [+ one more under Cauchy] then one b per round, and
+    # at transform one randn(#new labels) per round for unseen columns).
+    # ---------------------------------------------------------------- #
+    def _draw_projection(self, dim):
+        u = self.random_state_.randn(dim)
+        if self.take_cauchy_:
+            u = u / self.random_state_.randn(dim)
+        return u
+
+    def _draw_offset(self):
+        return self.w * self.random_state_.rand()
+
+    @staticmethod
+    def _propagate(P, transition, offsets):
+        nxt = np.empty_like(P)
+        for k, T in enumerate(transition):
+            lo, hi = offsets[k], offsets[k + 1]
+            nxt[lo:hi] = T @ P[lo:hi]
+        return nxt
+
+    @staticmethod
+    def _bag(bags, ids, offsets, t):
+        """Per-graph multiset of bucket ids for round ``t``."""
+        for k in range(len(bags)):
+            seg = ids[offsets[k]:offsets[k + 1]]
+            vals, cnt = np.unique(seg, return_counts=True)
+            bags[k][t] = Counter(dict(zip(vals.tolist(), cnt.tolist())))
+
+    @staticmethod
+    def _ids_extending(hd, codes):
+        """Bucket ids for scalar hash codes against a fit-time bucket
+        dict, assigning fresh ids (in ascending code order, like the
+        reference's sorted-unique extension) to codes missing from it.
+        Returns ``(ids, next_free_id)``; ``hd`` itself is not mutated."""
+        uniq, inv = np.unique(codes, return_inverse=True)
+        lut = np.empty(len(uniq), dtype=np.int64)
+        free = len(hd)
+        for i, v in enumerate(uniq.tolist()):
+            known = hd.get(v)
+            if known is None:
+                known = free
+                free += 1
+            lut[i] = known
+        return lut[inv.reshape(-1)], free
+
+    def _label_columns(self, graphs):
+        """Label -> P-column map; fit defines it, transform extends a
+        copy (fresh labels get the trailing columns, reference
+        propagation.py:252-266 semantics)."""
+        seen = set()
+        per_graph = []
+        for g, _ in graphs:
+            lab = g.get_labels(label_type="vertex")
+            per_graph.append(lab)
+            seen |= set(lab.values())
+        if self._method_calling in (1, 2):
+            self._enum_labels = {l: i for i, l in enumerate(seen)}
+            self._parent_labels = seen
+            return self._enum_labels, per_graph
+        fresh = seen - self._parent_labels
+        if not fresh:
+            return self._enum_labels, per_graph
+        cols = dict(self._enum_labels)
+        for l in fresh:
+            cols[l] = len(cols)
+        return cols, per_graph
+
     def parse_input(self, X):
         if not hasattr(X, "__iter__"):
             raise ValueError("input must be an iterable\n")
         graphs = self._parse_graphs(X)
         n = len(graphs)
-        indexes = [0]
-        labels = set()
-        L = []
-        for g, T in graphs:
-            lab = g.get_labels(label_type="vertex")
-            labels |= set(lab.values())
-            L.append((g.n, lab))
-            indexes.append(indexes[-1] + g.n)
-
-        if self._method_calling in (1, 2):
-            enum_labels = {l: i for i, l in enumerate(list(labels))}
-            self._enum_labels = enum_labels
-            self._parent_labels = labels
-        else:
-            new_elements = labels - self._parent_labels
-            if len(new_elements) > 0:
-                new_enum_labels = iter(
-                    (l, i) for i, l in enumerate(list(new_elements),
-                                                 len(self._enum_labels)))
-                enum_labels = dict(chain(self._enum_labels.items(),
-                                         new_enum_labels))
-            else:
-                enum_labels = self._enum_labels
-
-        data = []
-        for k, (nv, label) in enumerate(L):
-            data += [(indexes[k] + j, enum_labels[label[j]])
-                     for j in range(nv)]
-        rows, cols = zip(*data)
-        P = np.zeros(shape=(indexes[-1], len(enum_labels)))
-        P[rows, cols] = 1
-        dim_orig = len(self._enum_labels)
         transition = [T for _, T in graphs]
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([g.n for g, _ in graphs], out=offsets[1:])
 
+        col_of, per_graph = self._label_columns(graphs)
+        width = len(col_of)
+        col_idx = np.empty(offsets[-1], dtype=np.intp)
+        for k, lab in enumerate(per_graph):
+            col_idx[offsets[k]:offsets[k + 1]] = [
+                col_of[lab[j]] for j in range(int(offsets[k + 1]
+                                                  - offsets[k]))]
+        P = np.zeros((int(offsets[-1]), width))
+        P[np.arange(len(col_idx)), col_idx] = 1.0
+
+        bags = [dict() for _ in range(n)]
         if self._method_calling in (1, 2):
             self._u, self._b, self._hd = [], [], []
             for t in range(self.t_max):
-                u = self.random_state_.randn(len(enum_labels))
-                if self.take_cauchy_:
-                    u = np.divide(u, self.random_state_.randn(
-                        len(enum_labels)))
-                self._u.append(u)
-                self._b.append(self.w * self.random_state_.rand())
-            phi = {k: dict() for k in range(n)}
-            for t in range(self.t_max):
-                hashes = self._lsh(P, self._u[t], self._b[t])
-                hd = dict((j, i) for i, j in
-                          enumerate(set(np.unique(hashes))))
-                self._hd.append(hd)
-                features = np.vectorize(lambda i: hd[i])(hashes)
-                for k in range(n):
-                    phi[k][t] = Counter(features[indexes[k]:indexes[k + 1]])
-                if t < self.t_max - 1:
-                    for k in range(n):
-                        s, e = indexes[k:k + 2]
-                        P[s:e, :] = np.dot(transition[k], P[s:e, :])
-            return [phi[k] for k in range(n)]
+                self._u.append(self._draw_projection(width))
+                self._b.append(self._draw_offset())
+                codes = self._lsh(P, self._u[t], self._b[t])
+                uniq, ids = np.unique(codes, return_inverse=True)
+                self._hd.append({v: i for i, v in enumerate(uniq.tolist())})
+                self._bag(bags, ids.reshape(-1), offsets, t)
+                if t + 1 < self.t_max:
+                    P = self._propagate(P, transition, offsets)
+            return bags
 
-        if dim_orig >= len(enum_labels):
-            # no unseen labels
-            phi = {k: dict() for k in range(n)}
+        dim_orig = len(self._enum_labels)
+        if width <= dim_orig:           # every label was seen at fit
             for t in range(self.t_max):
-                hashes = self._lsh(P, self._u[t], self._b[t])
-                hd = dict(chain(
-                    self._hd[t].items(),
-                    iter((j, i) for i, j in enumerate(
-                        filterfalse(lambda x: x in self._hd[t],
-                                    np.unique(hashes)),
-                        len(self._hd[t])))))
-                features = np.vectorize(lambda i: hd[i])(hashes)
-                for k in range(n):
-                    phi[k][t] = Counter(features[indexes[k]:indexes[k + 1]])
-                if t < self.t_max - 1:
-                    for k in range(n):
-                        s, e = indexes[k:k + 2]
-                        P[s:e, :] = np.dot(transition[k], P[s:e, :])
-            return [phi[k] for k in range(n)]
+                codes = self._lsh(P, self._u[t], self._b[t])
+                ids, _ = self._ids_extending(self._hd[t], codes)
+                self._bag(bags, ids, offsets, t)
+                if t + 1 < self.t_max:
+                    P = self._propagate(P, transition, offsets)
+            return bags
 
-        # unseen labels: reproduce the reference's exact quirks
-        # (propagation.py:314-366) including the inclusive index bound
-        # and the non-unique hd extension for new-label vertices
-        cols = np.array(cols)
-        vertices = np.where(cols < dim_orig)[0]
-        vertices_p = np.where(cols >= dim_orig)[0]
-        nnv = len(enum_labels) - dim_orig
-        phi = {k: dict() for k in range(n)}
+        # Unseen labels.  The reference (propagation.py:288-366) splits
+        # vertices into "old" (distribution supported on fit columns) and
+        # "new"; old vertices hash through the fit projection restricted
+        # to the fit columns, new vertices through an extended projection
+        # whose buckets NEVER merge with fit-time buckets.  Two quirks
+        # are kept deliberately: the per-graph membership test uses an
+        # inclusive upper bound (a graph's first vertex is also counted
+        # into its predecessor), and after each propagation a vertex only
+        # moves to the "new" side once ALL its unseen-column mass is
+        # strictly positive.
+        old = np.flatnonzero(col_idx < dim_orig)
+        new = np.flatnonzero(col_idx >= dim_orig)
+        n_extra = width - dim_orig
         for t in range(self.t_max):
-            hashes = self._lsh(P[vertices, :dim_orig], self._u[t],
-                               self._b[t])
-            hd = dict(chain(
-                self._hd[t].items(),
-                iter((j, i) for i, j in enumerate(
-                    filterfalse(lambda x: x in self._hd[t],
-                                np.unique(hashes)),
-                    len(self._hd[t])))))
-            features = np.vectorize(lambda i: hd[i], otypes=[int])(hashes)
+            codes = self._lsh(P[old][:, :dim_orig], self._u[t], self._b[t])
+            ids, free = self._ids_extending(self._hd[t], codes)
 
-            u = self.random_state_.randn(nnv)
-            if self.take_cauchy_:
-                u = np.divide(u, self.random_state_.randn(nnv))
-            u = np.hstack((self._u[t], u))
-            hashes_p = self._lsh(P[vertices_p, :], u, self._b[t])
-            hd = dict(chain(hd.items(),
-                            iter((j, i) for i, j in
-                                 enumerate(hashes_p, len(hd)))))
-            features_p = np.vectorize(
-                lambda i: hd[i], otypes=[int])(hashes_p)
+            u_ext = np.concatenate([self._u[t],
+                                    self._draw_projection(n_extra)])
+            codes_new = self._lsh(P[new], u_ext, self._b[t])
+            _, inv_new = np.unique(codes_new, return_inverse=True)
+            ids_new = free + inv_new.reshape(-1)
 
             for k in range(n):
-                A = Counter(features[np.logical_and(
-                    indexes[k] <= vertices, vertices <= indexes[k + 1])])
-                B = Counter(features_p[np.logical_and(
-                    indexes[k] <= vertices_p,
-                    vertices_p <= indexes[k + 1])])
-                phi[k][t] = A + B
+                lo, hi = offsets[k], offsets[k + 1]
+                bags[k][t] = (
+                    Counter(ids[(old >= lo) & (old <= hi)].tolist())
+                    + Counter(ids_new[(new >= lo) & (new <= hi)].tolist()))
 
-            if t < self.t_max - 1:
-                for k in range(n):
-                    s, e = indexes[k:k + 2]
-                    P[s:e, :] = np.dot(transition[k], P[s:e, :])
-                Q = np.all(P[:, dim_orig:] > 0, axis=1)
-                vertices = np.where(~Q)[0]
-                vertices_p = np.where(Q)[0]
-        return [phi[k] for k in range(n)]
+            if t + 1 < self.t_max:
+                P = self._propagate(P, transition, offsets)
+                saturated = np.all(P[:, dim_orig:] > 0, axis=1)
+                old = np.flatnonzero(~saturated)
+                new = np.flatnonzero(saturated)
+        return bags
 
     # ------------------------------------------------------------------ #
     def _stream(self, parsed, key_enum, extend=True):
@@ -289,6 +308,12 @@ class Propagation(Kernel):
 
     def _gram(self, px, py=None):
         if self.metric is not _dot:
+            if self.verbose:
+                import sys
+                print("[%s] custom metric: falling back to the O(N^2) "
+                      "host pairwise loop (the device counts-GEMM only "
+                      "engages for the default dot metric)"
+                      % type(self).__name__, file=sys.stderr)
             return None  # custom metric -> host pairwise fallback
         enum = {}
         gx, kx, wx = self._stream(px, enum)
@@ -327,74 +352,65 @@ class PropagationAttr(Propagation):
                          random_state=random_state, metric=metric, M=M,
                          t_max=t_max, w=w)
 
+    def _draw_offset(self):
+        # per-dimension offset vector (the label variant draws a scalar)
+        return self.w * self.random_state_.randn(self._dim)
+
     def parse_input(self, X):
         if not hasattr(X, "__iter__"):
             raise ValueError("input must be an iterable\n")
         graphs = self._parse_graphs(X)
         n = len(graphs)
-        indexes = [0]
-        Attr = []
-        transition = []
-        for g, T in graphs:
+        transition = [T for _, T in graphs]
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([g.n for g, _ in graphs], out=offsets[1:])
+
+        blocks = []
+        for g, _ in graphs:
             attr = g.get_labels(label_type="vertex")
             try:
-                attributes = np.array([attr[j] for j in range(g.n)])
+                blocks.append(np.array([attr[j] for j in range(g.n)]))
             except TypeError:
                 raise TypeError("All attributes of a single graph should "
                                 "have the same dimension.")
-            Attr.append(attributes)
-            transition.append(T)
-            indexes.append(indexes[-1] + g.n)
         try:
-            P = np.vstack(Attr).astype(float)
+            P = np.vstack(blocks).astype(float)
         except ValueError:
             raise ValueError("Attribute dimensions should be the same, "
                              "for all graphs")
-        if self._method_calling in (1, 2):
+        fitting = self._method_calling in (1, 2)
+        if fitting:
             self._dim = P.shape[1]
-        else:
-            if self._dim != P.shape[1]:
-                raise ValueError("transform attribute vectors should have "
-                                 "the same dimension as in fit")
-
-        if self._method_calling in (1, 2):
             self._u, self._b, self._hd = [], [], []
-            for t in range(self.t_max):
-                u = self.random_state_.randn(self._dim)
-                if self.take_cauchy_:
-                    u = np.divide(u, self.random_state_.randn(self._dim))
-                self._u.append(u)
-                self._b.append(self.w * self.random_state_.randn(self._dim))
-            phi = {k: dict() for k in range(n)}
-            for t in range(self.t_max):
-                hashes = self._lsh(P, self._u[t], self._b[t]).tolist()
-                hd = {j: i for i, j in enumerate({tuple(l)
-                                                  for l in hashes})}
-                self._hd.append(hd)
-                features = np.array([hd[tuple(l)] for l in hashes])
-                for k in range(n):
-                    phi[k][t] = Counter(
-                        features[indexes[k]:indexes[k + 1]].flat)
-                if t < self.t_max - 1:
-                    for k in range(n):
-                        s, e = indexes[k:k + 2]
-                        P[s:e, :] = np.dot(transition[k], P[s:e, :])
-            return [phi[k] for k in range(n)]
+        elif self._dim != P.shape[1]:
+            raise ValueError("transform attribute vectors should have "
+                             "the same dimension as in fit")
 
-        phi = {k: dict() for k in range(n)}
+        bags = [dict() for _ in range(n)]
         for t in range(self.t_max):
-            hashes = self._lsh(P, self._u[t], self._b[t]).tolist()
-            hd = dict(chain(
-                self._hd[t].items(),
-                iter((j, i) for i, j in enumerate(
-                    filterfalse(lambda x: x in self._hd[t],
-                                {tuple(l) for l in hashes}),
-                    len(self._hd[t])))))
-            features = np.array([hd[tuple(l)] for l in hashes])
-            for k in range(n):
-                phi[k][t] = Counter(features[indexes[k]:indexes[k + 1]])
-            if t < self.t_max - 1:
-                for k in range(n):
-                    s, e = indexes[k:k + 2]
-                    P[s:e, :] = np.dot(transition[k], P[s:e, :])
-        return [phi[k] for k in range(n)]
+            if fitting:
+                self._u.append(self._draw_projection(self._dim))
+                self._b.append(self._draw_offset())
+            codes = self._lsh(P, self._u[t], self._b[t])
+            # bucket key = the whole per-dimension bin-id row
+            uniq, inv = np.unique(codes, axis=0, return_inverse=True)
+            inv = inv.reshape(-1)
+            if fitting:
+                self._hd.append({tuple(r): i
+                                 for i, r in enumerate(uniq.tolist())})
+                ids = inv
+            else:
+                hd = self._hd[t]
+                lut = np.empty(len(uniq), dtype=np.int64)
+                free = len(hd)
+                for i, r in enumerate(uniq.tolist()):
+                    known = hd.get(tuple(r))
+                    if known is None:
+                        known = free
+                        free += 1
+                    lut[i] = known
+                ids = lut[inv]
+            self._bag(bags, ids, offsets, t)
+            if t + 1 < self.t_max:
+                P = self._propagate(P, transition, offsets)
+        return bags

@@ -322,57 +322,68 @@ def graph_from_csv(edge_files, node_files=None, index_type=str,
         yield Graph(*item) if as_Graph else item
 
 
+def _tensor_rows(mat, decode_one_hot):
+    """torch feature tensor -> list of per-row labels: argmax ints when
+    the rows are one-hot codes, raw numpy vectors otherwise."""
+    arr = mat.detach().cpu().numpy()
+    if decode_one_hot:
+        return arr.argmax(axis=1).tolist()
+    return list(arr)
+
+
 def graph_from_torch_geometric(data, node_one_hot=False,
                                edge_one_hot=False, ignore_y=False):
-    """torch_geometric Data / DataBatch -> {'graph': ..., 'y': ...}
-    (reference utils.py:699-801)."""
-    def one_hot_node(x):
-        return x.argmax().item() if node_one_hot else x.cpu().numpy()
+    """torch_geometric ``Data`` / batched ``Batch`` -> grakel_tpu input.
 
-    def one_hot_edge(x):
-        return x.argmax().item() if edge_one_hot else x.cpu().numpy()
+    Capability parity with reference utils.py:699-801: a single ``Data``
+    yields ``{"graph": Graph, "y": int}``; a batched object is split back
+    into its member graphs via the ``batch`` vector and yields
+    ``{"graph": [Graph, ...], "y": [int, ...]}`` (node ids stay in the
+    batch-global index space).  ``node_one_hot`` / ``edge_one_hot``
+    decode one-hot feature rows to integer labels; otherwise features
+    pass through as numpy attribute vectors.  Implemented as vectorized
+    numpy over the edge_index / batch tensors (only attribute access is
+    required of ``data``, so any namespace with the right fields works).
+    """
+    ei = data.edge_index.detach().cpu().numpy()
+    pairs = [(int(u), int(v)) for u, v in zip(ei[0], ei[1])]
+    x_feat = getattr(data, "x", None)
+    e_feat = getattr(data, "edge_attr", None)
+    node_vals = (_tensor_rows(x_feat, node_one_hot)
+                 if x_feat is not None else None)
+    edge_vals = (_tensor_rows(e_feat, edge_one_hot)
+                 if e_feat is not None else None)
+    y = getattr(data, "y", None)
 
-    if getattr(data, "batch", None) is None:
-        edges = [tuple(e) for e in data.edge_index.t().tolist()]
-        node_labels, edge_labels = {}, {}
-        if data.x is not None:
-            node_labels = {i: one_hot_node(data.x[i])
-                           for i in range(data.x.shape[0])}
-        if getattr(data, "edge_attr", None) is not None:
-            edge_labels = {edges[i]: one_hot_edge(data.edge_attr[i])
-                           for i in range(data.edge_attr.shape[0])}
-        x = {"graph": Graph(edges, node_labels, edge_labels)}
-        if not ignore_y:
-            if data.y is not None:
-                x["y"] = int(data.y.item())
-        return x
+    membership = getattr(data, "batch", None)
+    if membership is None:
+        node_labels = (dict(enumerate(node_vals))
+                       if node_vals is not None else {})
+        edge_labels = (dict(zip(pairs, edge_vals))
+                       if edge_vals is not None else {})
+        out = {"graph": Graph(pairs, node_labels, edge_labels)}
+        if not ignore_y and y is not None:
+            out["y"] = int(y.item())
+        return out
 
-    edges = defaultdict(list)
-    edge_labels = (None if getattr(data, "edge_attr", None) is None
-                   else defaultdict(dict))
-    lookup = {i: data.batch[i].item()
-              for i in range(data.batch.shape[0])}
-    group_id = data.batch.unique_consecutive().tolist()
-    for i, e in enumerate(data.edge_index.t().tolist()):
-        e = tuple(e)
-        if lookup[e[0]] != lookup[e[1]]:
-            raise ValueError("Both nodes from an edge should correspond "
-                             "to the same graph.")
-        group = lookup[e[0]]
-        edges[group].append(e)
-        if edge_labels is not None:
-            edge_labels[group][e] = one_hot_edge(data.edge_attr[i])
-    node_labels = None
-    if data.x is not None:
-        node_labels = defaultdict(dict)
-        for i in range(data.x.shape[0]):
-            node_labels[data.batch[i].item()][i] = one_hot_node(data.x[i])
-    x = defaultdict(list)
-    for i in group_id:
-        x["graph"].append(Graph(
-            edges[i],
-            node_labels[i] if node_labels is not None else None,
-            edge_labels[i] if edge_labels is not None else None))
-        if not ignore_y and data.y is not None:
-            x["y"].append(int(data.y[i].item()))
-    return x
+    member = membership.detach().cpu().numpy().astype(np.int64)
+    src_g, dst_g = member[ei[0]], member[ei[1]]
+    crossing = np.flatnonzero(src_g != dst_g)
+    if crossing.size:
+        u, v = pairs[int(crossing[0])]
+        raise ValueError("edge (%d, %d) connects vertices of two "
+                         "different graphs" % (u, v))
+    out = defaultdict(list)
+    for gid in np.unique(member).tolist():
+        e_rows = np.flatnonzero(src_g == gid)
+        g_pairs = [pairs[i] for i in e_rows]
+        nl = el = None
+        if node_vals is not None:
+            nl = {int(v): node_vals[v]
+                  for v in np.flatnonzero(member == gid)}
+        if edge_vals is not None:
+            el = {pairs[i]: edge_vals[i] for i in e_rows}
+        out["graph"].append(Graph(g_pairs, nl, el))
+        if not ignore_y and y is not None:
+            out["y"].append(int(y[gid].item()))
+    return out

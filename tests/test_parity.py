@@ -344,6 +344,16 @@ class TestGraphHopper:
         check_pair("GraphHopper", fit, tr, kernel_type="bridge",
                    rtol=1e-5, atol=1e-5)
 
+    def test_weighted_fallback(self):
+        # weighted adjacencies route through the per-source Dijkstra +
+        # od_vectors_dag DP instead of the unweighted all-sources tensor
+        from grakel_tpu.datasets import generate_dataset
+        fit, tr = generate_dataset(
+            n_graphs=12, n_graphs_test=4, r_vertices=(4, 9),
+            r_connectivity=(0.3, 0.6), r_weight_edges=(0.5, 2.0),
+            random_state=7, features=("na", 3))
+        check_pair("GraphHopper", fit, tr, rtol=1e-5, atol=1e-5)
+
 
 class TestShortestPathAttr:
     def test_gram(self, cuneiform_attr):

@@ -102,3 +102,59 @@ def test_cross_validate_kfold_svm():
                                    random_state=0)
     assert len(out) == 1 and len(out[0]) == 2
     assert all(0.5 <= s <= 1.0 for s in out[0])
+
+
+def _tg(**fields):
+    """Minimal stand-in for a torch_geometric Data/Batch object — the
+    converter only reads attributes, never calls library methods."""
+    import types
+    base = dict(x=None, edge_attr=None, y=None, batch=None)
+    base.update(fields)
+    return types.SimpleNamespace(**base)
+
+
+def test_graph_from_torch_geometric_single():
+    import torch
+    from grakel_tpu import graph_from_torch_geometric
+    data = _tg(
+        edge_index=torch.tensor([[0, 1, 1, 2], [1, 0, 2, 1]]),
+        x=torch.tensor([[0.0, 1.0], [1.0, 0.0], [0.0, 1.0]]),
+        edge_attr=torch.tensor([[1.0, 0.0]] * 4),
+        y=torch.tensor([1]))
+    out = graph_from_torch_geometric(data, node_one_hot=True,
+                                     edge_one_hot=True)
+    g = out["graph"]
+    assert out["y"] == 1 and g.n == 3 and g.nb_edges() == 4
+    assert g.get_labels(label_type="vertex") == {0: 1, 1: 0, 2: 1}
+    assert g.get_labels(label_type="edge")[(0, 1)] == 0
+
+
+def test_graph_from_torch_geometric_batch():
+    import torch
+    from grakel_tpu import graph_from_torch_geometric, VertexHistogram
+    # two graphs: nodes 0-2 (graph 0), nodes 3-4 (graph 1)
+    data = _tg(
+        edge_index=torch.tensor([[0, 1, 2, 3], [1, 2, 0, 4]]),
+        x=torch.tensor([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0],
+                        [0.0, 1.0], [1.0, 0.0]]),
+        y=torch.tensor([0, 1]),
+        batch=torch.tensor([0, 0, 0, 1, 1]))
+    out = graph_from_torch_geometric(data, node_one_hot=True)
+    assert out["y"] == [0, 1]
+    assert [g.n for g in out["graph"]] == [3, 2]
+    K = VertexHistogram().fit_transform(out["graph"])
+    assert K.shape == (2, 2) and np.isfinite(K).all()
+    # attribute (non-one-hot) passthrough keeps vectors
+    out2 = graph_from_torch_geometric(data, ignore_y=True)
+    lab = out2["graph"][0].get_labels(label_type="vertex")
+    assert np.asarray(lab[0]).shape == (2,)
+
+
+def test_graph_from_torch_geometric_crossing_edge():
+    import torch
+    import pytest
+    from grakel_tpu import graph_from_torch_geometric
+    data = _tg(edge_index=torch.tensor([[0, 2], [1, 1]]),
+               batch=torch.tensor([0, 0, 1]))
+    with pytest.raises(ValueError):
+        graph_from_torch_geometric(data)
