@@ -62,8 +62,11 @@ def is_adjacency(g, transform=False):
             if transform:
                 raise ValueError("numpy adjacency input must be a square 2-D array")
             return False
-        # copy=False: numeric inputs pass through; the Graph never
-        # mutates the pending adjacency (get_adjacency_matrix copies)
+        # copy=False: numeric inputs pass through uncopied; the Graph
+        # never mutates the pending adjacency (get_adjacency_matrix
+        # copies).  CONTRACT: a float64 adjacency passed to Graph must
+        # not be mutated by the caller afterwards — COO extraction is
+        # lazy, so later edits would change the extracted edges.
         return (True, g.astype(np.float64, copy=False)) if transform \
             else True
     if isinstance(g, list):
@@ -175,6 +178,7 @@ class Graph(object):
 
     @senders.setter
     def senders(self, v):
+        self._adj_pending = None
         self._senders = v
 
     @property
@@ -185,6 +189,7 @@ class Graph(object):
 
     @receivers.setter
     def receivers(self, v):
+        self._adj_pending = None
         self._receivers = v
 
     @property
@@ -195,6 +200,7 @@ class Graph(object):
 
     @weights.setter
     def weights(self, v):
+        self._adj_pending = None
         self._weights = v
 
     # --- lazy identity symbol maps ------------------------------------- #
@@ -271,20 +277,35 @@ class Graph(object):
         self.node_labels = {}
         identity = self._index_of is None
         if node_labels:
-            if identity:
-                # adjacency inputs key labels by index already; skip the
-                # per-key map lookup (at REDDIT scale it dominated parse)
-                n = self.n
+            if identity and isinstance(node_labels, dict):
+                # adjacency inputs key labels by index already.  Validate
+                # the whole key set vectorized (np.fromiter is C-speed;
+                # per-key Python loops dominated parse at REDDIT scale):
+                # every key must be a non-negative integral < n — keys
+                # like 1.5 fall through to the slow path instead of
+                # silently truncating onto the wrong vertex.
+                keys = None
                 try:
-                    self.node_labels = {
-                        int(k): v for k, v in node_labels.items()
-                        if 0 <= int(k) < n}
+                    keys = np.fromiter(node_labels.keys(), np.float64,
+                                       len(node_labels))
                 except (TypeError, ValueError):
-                    identity = False
-            if not identity:
+                    pass
+                if keys is not None:
+                    ints = keys.astype(np.int64)
+                    if ((keys == ints) & (ints >= 0)
+                            & (ints < self.n)).all():
+                        self.node_labels = dict(node_labels)
+                        node_labels = None
+            if node_labels is not None:
                 for k, v in node_labels.items():
-                    idx = self.index_of.get(k, k if isinstance(
-                        k, (int, np.integer)) and 0 <= k < self.n else None)
+                    if identity:
+                        idx = k if isinstance(k, (int, np.integer)) \
+                            or (isinstance(k, float) and k == int(k)) \
+                            else None
+                    else:
+                        idx = self.index_of.get(k, k if isinstance(
+                            k, (int, np.integer)) and 0 <= k < self.n
+                            else None)
                     if idx is not None and 0 <= int(idx) < self.n:
                         self.node_labels[int(idx)] = v
         self.edge_labels = {}

@@ -57,18 +57,57 @@ class _HistogramKernel(Kernel):
         return [labs[(int(s), int(r))]
                 for s, r in zip(g.senders, g.receivers)]
 
+    def _numeric_label_arrays(self, graphs):
+        """Per-graph int64 label arrays when every graph has a full,
+        integer-valued label dict; None otherwise (mixed/typed labels
+        fall back to the per-item path)."""
+        if self._label_type != "vertex":
+            return None
+        arrs = []
+        for g in graphs:
+            if not g.node_labels or len(g.node_labels) != g.n:
+                return None
+            a = g.numeric_node_label_array()
+            if a is None:
+                return None
+            arrs.append(a)
+        return arrs
+
+    def _enum_ids(self, values):
+        """Vectorized label enumeration: only the distinct values touch
+        the ``_enum`` dict (extended in ascending order for new labels —
+        column ids are Gram-permutation-invariant, and transform reuses
+        the same dict, so this matches the reference's first-occurrence
+        enumeration in effect)."""
+        uniq, inv = np.unique(values, return_inverse=True)
+        lut = np.empty(max(len(uniq), 1), dtype=np.int32)
+        for i, u in enumerate(uniq.tolist()):
+            idx = self._enum.get(u)
+            if idx is None:
+                idx = len(self._enum)
+                self._enum[u] = idx
+            lut[i] = idx
+        return lut[inv.reshape(-1)]
+
     def parse_input(self, X):
         graphs = normalize_input(X)
         if self._method_calling in (1, 2):
             self._enum = {}
         elif not hasattr(self, "_enum"):
             raise ValueError("fit before transform")
-        gids, raw = [], []
-        for gi, g in enumerate(graphs):
-            ls = self._collect_labels(g)
-            raw.extend(ls)
-            gids.extend([gi] * len(ls))
-        labels = enumerate_labels(raw, self._enum, extend=True)
+        arrs = self._numeric_label_arrays(graphs)
+        if arrs is not None:
+            sizes = [len(a) for a in arrs]
+            gids = np.repeat(np.arange(len(graphs), dtype=np.int64), sizes)
+            labels = self._enum_ids(np.concatenate(arrs)
+                                    if arrs else np.zeros(0, np.int64))
+        else:
+            gids, raw = [], []
+            for gi, g in enumerate(graphs):
+                ls = self._collect_labels(g)
+                raw.extend(ls)
+                gids.extend([gi] * len(ls))
+            labels = enumerate_labels(raw, self._enum, extend=True)
         n_items = len(labels)
         pad = bucket_size(max(n_items, 1))
         gids_a = np.zeros(pad, dtype=np.int32)
@@ -87,10 +126,10 @@ class _HistogramKernel(Kernel):
 
     @staticmethod
     def _host_counts(p, L):
-        C = np.zeros((p["n"], L), np.float32)
         v = p["valid"]
-        np.add.at(C, (p["gids"][v], p["labels"][v]), 1.0)
-        return C
+        flat = p["gids"][v].astype(np.int64) * L + p["labels"][v]
+        return np.bincount(flat, minlength=p["n"] * L).reshape(
+            p["n"], L).astype(np.float32)
 
     def _gram(self, px, py=None):
         L = max(px["n_labels"], py["n_labels"] if py else 0, 1)

@@ -167,26 +167,19 @@ class NeighborhoodHash(Kernel):
 
     # ------------------------------------------------------------------ #
     def _gram(self, px, py=None):
-        from ..ops.gram import fetch_gram
-        from ..ops.intersect import min_intersection_gram_rounds
+        from ..ops.intersect import jaccard_gram_rounds
+        symmetric = py is None
         if py is None:
             py = px
-        R = self.R
-        nx = px["nv"]
-        ny = py["nv"]
-        # all R intersection Grams in one dispatch; the counts are small
-        # integers, so ONE lossless byte-plane fetch replaces R full f32
-        # Gram transfers (the NH bottleneck on a tunneled backend)
-        c_dev = min_intersection_gram_rounds(py["hists"], px["hists"])
-        Rp, npad, mpad = c_dev.shape
-        c_all = np.asarray(
-            fetch_gram(c_dev.reshape(Rp * npad, mpad)),
-            np.float64).reshape(Rp, npad, mpad)[:, :py["n"], :px["n"]]
-        denom = (ny[:, None] + nx[None, :])[None] - c_all
-        with np.errstate(divide="ignore", invalid="ignore"):
-            K = np.nan_to_num(c_all / denom).sum(axis=0)
-        K /= float(R)
-        return K if py is not px else (K + K.T) / 2.0
+        # the per-round min-intersections, the Jaccard division, the
+        # round mean and the symmetrization all fuse into one device
+        # program: a single [n, m] f32 crosses the link instead of an
+        # [R, n, m] count stack (which cost ~3x the transfer + host
+        # broadcast arithmetic at NCI1 scale)
+        K = jaccard_gram_rounds(py["hists"], px["hists"],
+                                va=py["nv"], vb=px["nv"],
+                                symmetrize=symmetric)
+        return np.asarray(K, np.float64)[:py["n"], :px["n"]]
 
     def _diag(self, parsed):
         return np.ones(parsed["n"], np.float64)

@@ -195,6 +195,21 @@ def _graph_big_dag(g, h):
     return (D_info, D_hash, v_ordered, D_edges, D_labels)
 
 
+def _stable_label_id(l):
+    """Stable (cross-process) 64-bit identity of a node label for the
+    native fingerprint engine: integral values map to themselves, other
+    labels to an FNV-1a of their string form with the top bit set."""
+    if isinstance(l, (int, np.integer)) or (
+            isinstance(l, (float, np.floating)) and float(l).is_integer()):
+        u = int(l) & 0xFFFFFFFFFFFFFFFF
+    else:
+        u = 0xCBF29CE484222325
+        for b in str(l).encode("utf-8", "surrogatepass"):
+            u = ((u ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        u |= 1 << 63
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
 class OddSth(Kernel):
     """ODD-STh kernel."""
 
@@ -208,8 +223,115 @@ class OddSth(Kernel):
             raise ValueError("h must be an integer bigger than zero")
         self.h_ = -1 if self.h is None else self.h
 
+    # ---------------------------------------------------------------- #
+    # native path: the whole batch decomposition (BFS DAGs, Kahn
+    # ordering, subtree fingerprints, per-graph merge) runs in C++
+    # (native/src/odd_sth.cpp); the big-DAG state is plain arrays.
+    # ---------------------------------------------------------------- #
+    def _decompose_native(self, graphs):
+        from ..native import odd_sth_decompose_native, have_native
+        if not have_native():
+            return None
+        per_graph = []
+        for g in graphs:
+            labs = g.get_labels(label_type="vertex", return_none=True)
+            if labs is None:
+                raise ValueError("OddSth requires node labels")
+            per_graph.append([labs[v] for v in range(g.n)])
+        flat = [l for ls in per_graph for l in ls]
+        try:
+            distinct = sorted(set(flat))
+        except TypeError:   # unsortable/unhashable labels -> python path
+            return None
+        code_of = {l: i for i, l in enumerate(distinct)}
+        id_of = {l: _stable_label_id(l) for l in distinct}
+        codes = np.fromiter((code_of[l] for l in flat), np.int64,
+                            len(flat))
+        ids = np.fromiter((id_of[l] for l in flat), np.int64, len(flat))
+        node_off = np.zeros(len(graphs) + 1, np.int64)
+        np.cumsum([g.n for g in graphs], out=node_off[1:])
+        adj_parts, deg_parts = [], []
+        for g in graphs:
+            s = np.asarray(g.senders)
+            # neighbor order must match Graph.neighbors (edge order)
+            order = np.argsort(s, kind="stable")
+            adj_parts.append(np.asarray(g.receivers)[order]
+                             .astype(np.int32))
+            deg_parts.append(np.bincount(s, minlength=g.n)
+                             .astype(np.int64))
+        adj = (np.concatenate(adj_parts) if adj_parts
+               else np.zeros(0, np.int32))
+        degs = (np.concatenate(deg_parts) if deg_parts
+                else np.zeros(0, np.int64))
+        adj_off = np.zeros(len(degs) + 1, np.int64)
+        np.cumsum(degs, out=adj_off[1:])
+        out = odd_sth_decompose_native(node_off, adj_off, adj, codes,
+                                       ids, self.h_)
+        if out is None:  # pragma: no cover
+            return None
+        ha, hb, C, node, graph, freq = out
+        return {"ha": ha, "hb": hb, "C": C, "node": node, "graph": graph,
+                "freq": freq, "ncols": len(graphs)}
+
+    @staticmethod
+    def _merge_native(fit, y):
+        """Append a transform batch to the fit big-DAG table: matched
+        fingerprints reuse fit rows (and fit C weights); fresh ones get
+        new rows in the transform batch's first-appearance order, C =
+        their frequency in the first transform graph containing them —
+        exactly the reference's deep-copy-and-append semantics
+        (reference odd_sth.py:101-120)."""
+        Df = len(fit["ha"])
+        allk = np.concatenate([
+            np.stack([fit["ha"], fit["hb"]], axis=1),
+            np.stack([y["ha"], y["hb"]], axis=1)])
+        _, inv = np.unique(allk, axis=0, return_inverse=True)
+        inv = inv.reshape(-1)
+        lut = np.full(inv.max() + 1 if len(inv) else 1, -1, np.int64)
+        lut[inv[:Df]] = np.arange(Df)
+        y_row = lut[inv[Df:]]
+        fresh = y_row < 0
+        y_row = np.where(fresh, Df + np.cumsum(fresh) - 1, y_row)
+        return {
+            "ha": np.concatenate([fit["ha"], y["ha"][fresh]]),
+            "hb": np.concatenate([fit["hb"], y["hb"][fresh]]),
+            "C": np.concatenate([fit["C"], y["C"][fresh]]),
+            "node": np.concatenate([fit["node"].astype(np.int64),
+                                    y_row[y["node"]]]),
+            "graph": np.concatenate([fit["graph"].astype(np.int64),
+                                     y["graph"] + fit["ncols"]]),
+            "freq": np.concatenate([fit["freq"], y["freq"]]),
+            "ncols": fit["ncols"] + y["ncols"],
+        }
+
+    @staticmethod
+    def _native_stream(state, col_lo, col_hi):
+        """(graph, node, freq*sqrt(C)) COO for columns in range."""
+        cols = state["graph"]
+        sel = (cols >= col_lo) & (cols < col_hi)
+        nodes = state["node"][sel]
+        w = (state["freq"][sel].astype(np.float64)
+             * np.sqrt(state["C"][nodes].astype(np.float64)))
+        return ((cols[sel] - col_lo).astype(np.int32),
+                nodes.astype(np.int32), w.astype(np.float32))
+
     def parse_input(self, X):
         graphs = normalize_input(X)
+        fit_native = (self._method_calling != 3
+                      or isinstance(self.X, dict))
+        native = self._decompose_native(graphs) if fit_native else None
+        if native is not None:
+            if self._method_calling == 3:
+                merged = self._merge_native(self.X, native)
+                self._ny = len(graphs)
+                return merged
+            self._nx = len(graphs)
+            return native
+        if self._method_calling == 3 and isinstance(self.X, dict):
+            raise RuntimeError(
+                "OddSth was fitted with the native decomposition engine "
+                "but it is unavailable for transform (no compiler, or "
+                "unsortable labels); refit with matching inputs")
         if self._method_calling == 3:
             out = copy.deepcopy(self.X)
             col0 = self._nx
@@ -282,9 +404,13 @@ class OddSth(Kernel):
         self._method_calling = 2
         self.fit(X)
         big = self.X
-        D = len(big[0])
+        if isinstance(big, dict):
+            D = len(big["C"])
+            g, k, w = self._native_stream(big, 0, self._nx)
+        else:
+            D = len(big[0])
+            g, k, w = self._stream(big, range(self._nx))
         L = bucket_size(max(D, 1))
-        g, k, w = self._stream(big, range(self._nx))
         if L > self._DEVICE_MAX_WIDTH:
             km = self._host_sparse_gram(g, k, w, self._nx, self._nx, D)
         else:
@@ -303,11 +429,17 @@ class OddSth(Kernel):
         if not hasattr(self, "X") or self.X is None:
             raise NotFittedError("call fit before transform")
         full = self.parse_input(X)
-        D = len(full[0])
+        if isinstance(full, dict):
+            D = len(full["C"])
+            gx, kx, wx = self._native_stream(full, 0, self._nx)
+            gy, ky, wy = self._native_stream(full, self._nx,
+                                             self._nx + self._ny)
+        else:
+            D = len(full[0])
+            gx, kx, wx = self._stream(full, range(self._nx))
+            gy, ky, wy = self._stream(full, range(self._nx,
+                                                  self._nx + self._ny))
         L = bucket_size(max(D, 1))
-        gx, kx, wx = self._stream(full, range(self._nx))
-        gy, ky, wy = self._stream(full, range(self._nx,
-                                              self._nx + self._ny))
         if L > self._DEVICE_MAX_WIDTH:
             km = self._host_sparse_gram(gy, ky, wy, self._ny, self._nx, D,
                                         rect_gk=(gx, kx, wx))

@@ -17,7 +17,8 @@ import tempfile
 import numpy as np
 
 __all__ = ["clique_values", "ap_hash_batch", "connected_subsets_native",
-           "nspd_hash_graph", "canonical_labeling_native", "have_native"]
+           "nspd_hash_graph", "canonical_labeling_native",
+           "odd_sth_decompose_native", "have_native"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src")
@@ -31,7 +32,8 @@ def _build():
             os.path.join(_SRC, "ap_hash.cpp"),
             os.path.join(_SRC, "consubg.cpp"),
             os.path.join(_SRC, "nspd.cpp"),
-            os.path.join(_SRC, "canonical.cpp")]
+            os.path.join(_SRC, "canonical.cpp"),
+            os.path.join(_SRC, "odd_sth.cpp")]
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
            "-o", _LIB_PATH] + srcs
     subprocess.run(cmd, check=True, capture_output=True)
@@ -84,6 +86,16 @@ def _load():
             ctypes.c_int, ctypes.c_long, _i32, _i32, _i32,
             ctypes.c_int, _i32]
         lib.canonical_labeling.restype = ctypes.c_int
+        _pp = ctypes.POINTER
+        lib.odd_sth_decompose.argtypes = [
+            ctypes.c_int, _i64, _i64, _i32, _i64, _i64, ctypes.c_int,
+            _pp(_pp(ctypes.c_uint64)), _pp(_pp(ctypes.c_uint64)),
+            _pp(_pp(ctypes.c_int64)),
+            _pp(_pp(ctypes.c_int32)), _pp(_pp(ctypes.c_int32)),
+            _pp(_pp(ctypes.c_int64)), _pp(ctypes.c_int64)]
+        lib.odd_sth_decompose.restype = ctypes.c_int64
+        lib.odd_sth_free.argtypes = [ctypes.c_void_p]
+        lib.odd_sth_free.restype = None
         _lib = lib
     except Exception:  # pragma: no cover - no compiler / load failure
         _lib = None
@@ -217,6 +229,63 @@ def canonical_labeling_native(n, src, dst, colors, directed):
     if rc != 0:  # pragma: no cover
         raise RuntimeError("canonical_labeling failed")
     return out
+
+
+def odd_sth_decompose_native(node_off, adj_off, adj, label_codes,
+                             label_ids, h):
+    """Native ODD-STh batch decomposition (src/odd_sth.cpp).
+
+    ``node_off`` int64[n_graphs+1] per-graph vertex offsets,
+    ``adj_off`` int64[total_nodes+1] CSR offsets, ``adj`` int32 local
+    neighbor indices, ``label_codes`` int64 ORDER-PRESERVING per-node
+    codes (batch-local, drive the Kahn ordering), ``label_ids`` int64
+    stable per-node label identities (mixed into the fingerprints, must
+    match across fit/transform), ``h`` the BFS depth cap (-1 =
+    unbounded).
+
+    Returns ``(ha, hb, C, node, graph, freq)`` — the distinct-subtree
+    fingerprint halves and C weights in first-appearance order plus the
+    (table row, graph column, frequency) COO stream — or ``None`` when
+    no native library is available.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    node_off = np.ascontiguousarray(node_off, np.int64)
+    adj_off = np.ascontiguousarray(adj_off, np.int64)
+    adj = np.ascontiguousarray(adj, np.int32)
+    if adj.size == 0:
+        adj = np.zeros(1, np.int32)
+    label_codes = np.ascontiguousarray(label_codes, np.int64)
+    label_ids = np.ascontiguousarray(label_ids, np.int64)
+    n_graphs = len(node_off) - 1
+    pha = ctypes.POINTER(ctypes.c_uint64)()
+    phb = ctypes.POINTER(ctypes.c_uint64)()
+    pC = ctypes.POINTER(ctypes.c_int64)()
+    pnode = ctypes.POINTER(ctypes.c_int32)()
+    pgraph = ctypes.POINTER(ctypes.c_int32)()
+    pfreq = ctypes.POINTER(ctypes.c_int64)()
+    nnz = ctypes.c_int64(0)
+    rows = lib.odd_sth_decompose(
+        n_graphs, node_off, adj_off, adj, label_codes, label_ids, int(h),
+        ctypes.byref(pha), ctypes.byref(phb), ctypes.byref(pC),
+        ctypes.byref(pnode), ctypes.byref(pgraph), ctypes.byref(pfreq),
+        ctypes.byref(nnz))
+    try:
+        if rows < 0:  # pragma: no cover
+            raise RuntimeError("odd_sth_decompose failed")
+        m = int(nnz.value)
+        D = int(rows)
+        ha = np.ctypeslib.as_array(pha, shape=(max(D, 1),))[:D].copy()
+        hb = np.ctypeslib.as_array(phb, shape=(max(D, 1),))[:D].copy()
+        C = np.ctypeslib.as_array(pC, shape=(max(D, 1),))[:D].copy()
+        node = np.ctypeslib.as_array(pnode, shape=(max(m, 1),))[:m].copy()
+        graph = np.ctypeslib.as_array(pgraph, shape=(max(m, 1),))[:m].copy()
+        freq = np.ctypeslib.as_array(pfreq, shape=(max(m, 1),))[:m].copy()
+    finally:
+        for p in (pha, phb, pC, pnode, pgraph, pfreq):
+            lib.odd_sth_free(p)
+    return ha, hb, C, node, graph, freq
 
 
 def clique_values(cv, ce, kmax):

@@ -12,8 +12,8 @@ vertex permutations of the bit-packed upper-triangular adjacency
 bliss wrapper does by building an undirected graph from directed pairs).
 The min-over-permutations runs BATCHED on device: one gather of
 [B, s!, s(s-1)/2] bits + a weighted-sum + min reduction.  s > 8 falls
-back to a host canonical form (sorted by refined-color backtracking is
-unnecessary at these sizes; networkx VF2 binning is used by the caller).
+back to the individualization-refinement canonicalizer
+(grakel_tpu.isomorphism / native/src/canonical.cpp).
 """
 
 from __future__ import annotations

@@ -19,7 +19,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["min_intersection_gram", "min_intersection_gram_rounds"]
+__all__ = ["min_intersection_gram", "min_intersection_gram_rounds",
+           "jaccard_gram_rounds"]
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -149,66 +150,83 @@ def min_intersection_gram_rounds(A, B=None, tile=64, force_pallas=None):
                                  TI, TJ)
 
 
-_JACCARD_CPU = {}
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _jaccard_rounds_impl(A, B, va, vb, symmetrize, use_pallas, interpret,
+                         TI, TJ):
+    """K = mean_r where(denom > 0, c_r / denom, 0) with
+    denom = va[:,None] + vb[None,:] - c_r, entirely on device."""
+    R = A.shape[0]
+    acc = jnp.zeros((A.shape[1], B.shape[1]), jnp.float32)
+    for r in range(R):
+        if use_pallas:
+            c = _pallas_min_gram(A[r], B[r], interpret)
+        else:
+            c = _min_gram_impl(A[r], B[r], TI, TJ)
+        denom = va[:, None] + vb[None, :] - c
+        acc = acc + jnp.where(denom > 0, c / denom, 0.0)
+    acc = acc / R
+    if symmetrize:
+        acc = (acc + acc.T) * 0.5
+    return acc
 
 
-def jaccard_gram_rounds_cpu(A, B, va, vb, tile=64):
-    """NeighborhoodHash Gram on the XLA **CPU** backend:
-    ``K[i,j] = mean_r c_r[i,j] / (va[i] + vb[j] - c_r[i,j])`` with
-    ``c_r = sum_l min(A_r[i], B_r[j])`` and the 0/0 (empty-graph) case
+def jaccard_gram_rounds(A, B=None, va=None, vb=None, symmetrize=None,
+                        tile=64, force_pallas=None):
+    """Multiset-Jaccard Gram averaged over rounds (the NeighborhoodHash
+    comparison, reference neighborhood_hash.py:534-573):
+
+    ``K[i, j] = mean_r c_r[i, j] / (va[i] + vb[j] - c_r[i, j])`` with
+    ``c_r = sum_l min(A[r, i, l], B[r, j, l])`` and 0/0 (empty graph)
     mapped to 0.
 
-    A: [R, n, L] row-side histograms with vertex counts va [n];
-    B: [R, m, L] column-side with vb [m].
-    Rationale: the per-pair label space is tiny (2^bits columns), so
-    the min-reduce is ~R*n*m*L flops — small next to the cost of moving
-    an [R, n, m] count stack over a tunneled device link (measured on
-    NCI1 scale: ~0.5 s of TPU compute vs ~8 s of fetch + ~8 s of host
-    f64 broadcast arithmetic).  Computing the WHOLE Jaccard on XLA-CPU
-    keeps everything off the link and fuses the arithmetic.
+    A: [R, n, L] per-round histograms, va: [n] vertex counts (likewise
+    B [R, m, L] / vb [m]; both default to the A side).  Runs as ONE jit
+    on the default backend — the per-round min-Gram (Pallas on TPU,
+    dynamic-slice tiles elsewhere), the division, the round mean and the
+    symmetrization all fuse, so a single [n, m] f32 leaves the device
+    instead of an [R, n, m] count stack (the NH bottleneck on a
+    tunneled backend).  Returns the PADDED device array; callers slice
+    ``[:n, :m]`` after fetching.
     """
-    key = ("jacc", A.shape, B.shape, tile)
-    fn = _JACCARD_CPU.get(key)
-    if fn is None:
-        cpu = jax.devices("cpu")[0]
-
-        def base(a, b, vx, vy):
-            R, n, L = a.shape
-            m = b.shape[1]
-            TI = min(tile, n)
-            TJ = min(tile, m)
-            ni = -(-n // TI)
-            nj = -(-m // TJ)
-            a = jnp.pad(a, ((0, 0), (0, ni * TI - n), (0, 0)))
-            b = jnp.pad(b, ((0, 0), (0, nj * TJ - m), (0, 0)))
-            vxp = jnp.pad(vx, (0, ni * TI - n))
-            vyp = jnp.pad(vy, (0, nj * TJ - m))
-
-            def tile_body(ij, K):
-                i = ij // nj
-                j = ij % nj
-                at = jax.lax.dynamic_slice(a, (0, i * TI, 0), (R, TI, L))
-                bt = jax.lax.dynamic_slice(b, (0, j * TJ, 0), (R, TJ, L))
-                c = jnp.sum(jnp.minimum(at[:, :, None, :],
-                                        bt[:, None, :, :]), axis=-1)
-                s = (jax.lax.dynamic_slice(vxp, (i * TI,), (TI,))[:, None]
-                     + jax.lax.dynamic_slice(vyp, (j * TJ,), (TJ,))[None, :])
-                denom = s[None] - c
-                t = jnp.where(denom > 0, c / denom, 0.0).mean(axis=0)
-                return jax.lax.dynamic_update_slice(K, t, (i * TI, j * TJ))
-
-            K0 = jnp.zeros((ni * TI, nj * TJ), jnp.float32)
-            K = jax.lax.fori_loop(0, ni * nj, tile_body, K0)
-            return K[:n, :m]
-
-        _JACCARD_CPU[key] = fn = (jax.jit(base, device=cpu), cpu)
-    base, cpu = fn
-    put = functools.partial(jax.device_put, device=cpu)
-    out = base(put(jnp.asarray(np.asarray(A), jnp.float32)),
-               put(jnp.asarray(np.asarray(B), jnp.float32)),
-               put(jnp.asarray(np.asarray(nx), jnp.float32)),
-               put(jnp.asarray(np.asarray(ny), jnp.float32)))
-    return np.asarray(out, np.float64)
+    same = B is None or B is A        # avoid uploading one array twice
+    sym = same if symmetrize is None else symmetrize
+    A = jnp.asarray(np.asarray(A), jnp.float32)
+    B = A if same else jnp.asarray(np.asarray(B), jnp.float32)
+    R, n, L = A.shape
+    m = B.shape[1]
+    va = (jnp.full(n, 1.0, jnp.float32) if va is None
+          else jnp.asarray(np.asarray(va), jnp.float32))
+    if vb is va or (vb is None and same):
+        vb = va
+    else:
+        vb = (jnp.full(m, 1.0, jnp.float32) if vb is None
+              else jnp.asarray(np.asarray(vb), jnp.float32))
+    backend = jax.default_backend()
+    use_pallas = (backend not in ("cpu",)) if force_pallas is None \
+        else force_pallas
+    if use_pallas:
+        Lp = -(-L // _TL) * _TL
+        npad = -(-n // _TI) * _TI
+        mpad = -(-m // _TJ) * _TJ
+        TI = TJ = 0
+    else:
+        TI = min(tile, max(8, n))
+        TJ = min(tile, max(8, m))
+        npad = -(-n // TI) * TI
+        mpad = -(-m // TJ) * TJ
+        Lp = L
+    if (npad, Lp) != (n, L):
+        A = jnp.pad(A, ((0, 0), (0, npad - n), (0, Lp - L)))
+    if (mpad, Lp) != (m, L):
+        B = jnp.pad(B, ((0, 0), (0, mpad - m), (0, Lp - L)))
+    if npad != n:
+        va = jnp.pad(va, (0, npad - n))
+    if mpad != m:
+        vb = jnp.pad(vb, (0, mpad - m))
+    # symmetrizing requires the pad shapes to agree (they do when B is A)
+    sym = sym and npad == mpad
+    return _jaccard_rounds_impl(A, B, va, vb, sym, use_pallas,
+                                backend == "cpu", TI, TJ)
 
 
 def min_intersection_gram(A, B=None, tile=64, force_pallas=None):

@@ -178,3 +178,40 @@ def test_oddsth_host_sparse_gram_matches_device(labeled_data):
     dx_h, dy_h = host.diagonal()
     np.testing.assert_allclose(dx_h, dx_d, rtol=1e-5)
     np.testing.assert_allclose(dy_h, dy_d, rtol=1e-5)
+
+
+def test_odd_sth_native_matches_python():
+    """The C++ decomposition engine and the pure-Python fallback must
+    produce identical Grams (fit_transform AND transform with unseen
+    labels), for int and string labels."""
+    import numpy as np
+    from grakel_tpu import OddSth
+    from grakel_tpu.datasets import generate_dataset
+    from grakel_tpu.native import have_native
+    import pytest
+    if not have_native():
+        pytest.skip("no native library")
+    for feat, map_lab in [(("nl", 4), None),
+                          (("nl", 3), lambda v: "L%d" % v)]:
+        fit, tr = generate_dataset(n_graphs=24, n_graphs_test=8,
+                                   r_vertices=(3, 9),
+                                   r_connectivity=(0.3, 0.7),
+                                   random_state=11, features=feat)
+        if map_lab is not None:
+            fit = [[g[0], {k: map_lab(v) for k, v in g[1].items()}, g[2]]
+                   for g in fit]
+            tr = [[g[0], {k: map_lab(v) for k, v in g[1].items()}, g[2]]
+                  for g in tr]
+        kn = OddSth().fit(fit)
+        assert isinstance(kn.X, dict)
+        kp = OddSth()
+        kp._decompose_native = lambda graphs: None
+        kp.fit(fit)
+        Kn = OddSth().fit_transform(fit)
+        kp2 = OddSth()
+        kp2._decompose_native = lambda graphs: None
+        Kp = kp2.fit_transform(fit)
+        np.testing.assert_allclose(Kn, Kp, rtol=1e-6)
+        Tn = kn.transform(tr)
+        Tp = kp.transform(tr)
+        np.testing.assert_allclose(Tn, Tp, rtol=1e-6)

@@ -24,3 +24,41 @@ def test_pallas_interpret_matches():
     expected = np.minimum(A[:, None, :], B[None, :, :]).sum(-1)
     got = min_intersection_gram(A, B, force_pallas=True)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-4)
+
+
+def _jaccard_np(A, B, va, vb):
+    R = A.shape[0]
+    out = np.zeros((A.shape[1], B.shape[1]))
+    for r in range(R):
+        c = np.minimum(A[r][:, None, :], B[r][None, :, :]).sum(-1)
+        denom = va[:, None] + vb[None, :] - c
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out += np.where(denom > 0, c / denom, 0.0)
+    return out / R
+
+
+@pytest.mark.parametrize("force_pallas", [False, True])
+def test_jaccard_rounds(force_pallas):
+    from grakel_tpu.ops.intersect import jaccard_gram_rounds
+    rng = np.random.RandomState(2)
+    A = rng.randint(0, 4, (3, 12, 40)).astype(np.float32)
+    B = rng.randint(0, 4, (3, 9, 40)).astype(np.float32)
+    va = A.sum(axis=(0, 2)) / 3.0 + 1.0
+    vb = B.sum(axis=(0, 2)) / 3.0 + 1.0
+    got = np.asarray(jaccard_gram_rounds(
+        A, B, va=va, vb=vb, force_pallas=force_pallas))[:12, :9]
+    np.testing.assert_allclose(got, _jaccard_np(A, B, va, vb),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_jaccard_rounds_symmetric_with_empty():
+    from grakel_tpu.ops.intersect import jaccard_gram_rounds
+    rng = np.random.RandomState(3)
+    A = rng.randint(0, 4, (2, 6, 16)).astype(np.float32)
+    A[:, 4] = 0  # empty graph -> 0/0 handled as 0
+    va = np.array([5, 5, 5, 5, 0, 5], np.float32)
+    got = np.asarray(jaccard_gram_rounds(A, va=va))[:6, :6]
+    exp = _jaccard_np(A, A, va, va)
+    exp = (exp + exp.T) / 2
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+    assert got[4, 4] == 0.0
