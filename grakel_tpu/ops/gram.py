@@ -17,8 +17,9 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["gram_gemm", "gram_rect", "normalize_gram",
-           "coo_counts_gram", "coo_counts_gram_rect", "counts_diag",
-           "chunked_counts_gram_raw", "chunk_plan", "fetch_gram", "cpu_gemm"]
+           "coo_counts_gram", "coo_counts_gram_rect", "coo_counts_gram_acc",
+           "counts_diag", "chunked_counts_gram_raw", "chunk_plan",
+           "fetch_gram", "cpu_gemm"]
 
 
 def _as_f32(x):
@@ -95,7 +96,9 @@ def cpu_gemm(a, b=None):
     key = "sym" if b is None else "rect"
     fn = _CPU_GEMM.get(key)
     if fn is None:
-        cpu = jax.devices("cpu")[0]
+        # local_devices: under jax.distributed, jax.devices() is the
+        # GLOBAL list and device 0 may belong to another process
+        cpu = jax.local_devices(backend="cpu")[0]
         if b is None:
             base = jax.jit(lambda x: jnp.dot(
                 x, x.T, preferred_element_type=jnp.float32), device=cpu)
@@ -203,6 +206,26 @@ def chunked_counts_gram_raw(gids, labels, weights, valid, n_graphs,
 def _coo_gram_impl(gids, labels, weights, valid, n_graphs, n_chunks, chunk):
     return chunked_counts_gram_raw(gids, labels, weights, valid,
                                    n_graphs, n_chunks, chunk)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(7,))
+def _coo_gram_acc_impl(gids, labels, weights, valid, n_graphs, n_chunks,
+                       chunk, K0):
+    return chunked_counts_gram_raw(gids, labels, weights, valid,
+                                   n_graphs, n_chunks, chunk, K0=K0)
+
+
+def coo_counts_gram_acc(gids, labels, weights, valid, n_graphs, n_labels,
+                        K0, chunk=4096):
+    """Like :func:`coo_counts_gram` but accumulates INTO device array
+    ``K0`` (donated) — callers summing Grams across WL generations keep
+    the accumulator on device and fetch once at the end."""
+    chunk = min(chunk, max(128, 1 << (int(n_labels) - 1).bit_length()))
+    nc = _chunks_for(n_labels, chunk)
+    return _coo_gram_acc_impl(jnp.asarray(gids), jnp.asarray(labels),
+                              jnp.asarray(weights, dtype=jnp.float32),
+                              jnp.asarray(valid), int(n_graphs), nc,
+                              chunk, K0)
 
 
 @functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))

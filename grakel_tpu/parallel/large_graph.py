@@ -39,6 +39,7 @@ except ImportError:  # pragma: no cover
 
 from ..batch import bucket_size
 from ..ops import wl as wl_ops
+from .wl import _to_host
 
 __all__ = ["edge_partitioned_wl_features", "large_graph_wl_gram"]
 
@@ -98,9 +99,15 @@ class _EdgePartition:
             self.recv_global[dsort, pos] = recv[order].astype(np.int32)
             self.emask[dsort, pos] = True
 
-    def device_args(self):
-        return (jnp.asarray(self.send_local), jnp.asarray(self.recv_global),
-                jnp.asarray(self.emask))
+    def device_args(self, sharding=None):
+        if sharding is None:
+            return (jnp.asarray(self.send_local),
+                    jnp.asarray(self.recv_global), jnp.asarray(self.emask))
+        # multi-process-safe: every process holds the identical host
+        # copy and uploads its own shards of the global array
+        put = lambda a: jax.device_put(a, sharding)  # noqa: E731
+        return (put(self.send_local), put(self.recv_global),
+                put(self.emask))
 
 
 def _initial_labels(g, enum):
@@ -132,6 +139,7 @@ def edge_partitioned_wl_features(g, n_iter, mesh, axis="g"):
     labels.  Returns (list of {label_id: count} dicts per generation,
     final numpy label array).
     """
+    from jax.sharding import NamedSharding
     P = mesh.shape[axis]
     part = _EdgePartition(g, P)
     enum = {}
@@ -139,20 +147,22 @@ def edge_partitioned_wl_features(g, n_iter, mesh, axis="g"):
     labels[:g.n] = _initial_labels(g, enum)
 
     spec = PartitionSpec(axis, None)
+    row_sh = NamedSharding(mesh, spec)
     step = shard_map(_refine_step(P, axis), mesh=mesh,
                      in_specs=(spec,) * 4, out_specs=(spec, spec))
-    args = part.device_args()
+    args = part.device_args(row_sh)
 
     feats = [_histogram(labels, part.node_valid)]
     cur = labels
-    labels_sh = jnp.asarray(labels.reshape(P, part.npd))
+    labels_sh = jax.device_put(labels.reshape(P, part.npd), row_sh)
     for _ in range(n_iter):
         h1, h2 = step(labels_sh, *args)
         ids, nu = wl_ops.host_compact(
-            np.asarray(h1).ravel(), np.asarray(h2).ravel(),
+            _to_host(h1).ravel(), _to_host(h2).ravel(),
             part.node_valid)
         cur = ids
-        labels_sh = jnp.asarray(ids.reshape(P, part.npd).astype(np.int32))
+        labels_sh = jax.device_put(
+            ids.reshape(P, part.npd).astype(np.int32), row_sh)
         feats.append(_histogram(cur, part.node_valid))
     return feats, cur[:g.n]
 
@@ -198,8 +208,10 @@ def large_graph_wl_gram(graphs, n_iter, mesh, big_threshold=10000,
     sm_recv = np.concatenate(recvs) if recvs else np.zeros(0, np.int64)
 
     # --- big population: edge-partitioned shards ---------------------- #
+    from jax.sharding import NamedSharding
     parts, big_labels, steps = {}, {}, {}
     spec = PartitionSpec(axis, None)
+    row_sh = NamedSharding(mesh, spec)
     for i in big_idx:
         part = _EdgePartition(graphs[i], P)
         lab = np.full(part.N_pad, -1, np.int32)
@@ -211,8 +223,41 @@ def large_graph_wl_gram(graphs, n_iter, mesh, big_threshold=10000,
                              out_specs=(spec, spec))
 
     K = np.zeros((n_graphs, n_graphs), np.float64)
+    Kd = None  # device accumulator for the wide generations
 
-    def accumulate(ids_small, ids_big, width):
+    # flat (graph id, valid) node stream shared by every generation:
+    # small-population nodes first, then each big graph's padded shard
+    all_gids = np.concatenate(
+        [sm_gids] + [np.full(parts[i].N_pad, i, np.int64)
+                     for i in big_idx]).astype(np.int32) \
+        if (Ns or big_idx) else np.zeros(0, np.int32)
+    all_valid = np.concatenate(
+        [np.ones(Ns, bool)] + [parts[i].node_valid for i in big_idx]) \
+        if (Ns or big_idx) else np.zeros(0, bool)
+    pad = bucket_size(max(len(all_gids), 1))
+    gids_p = np.zeros(pad, np.int32)
+    gids_p[:len(all_gids)] = all_gids
+    valid_p = np.zeros(pad, bool)
+    valid_p[:len(all_gids)] = all_valid
+    ones_p = np.ones(pad, np.float32)
+
+    # label-width bound below which one dense [n_graphs, width] count
+    # matrix is cheap; wider generations (width grows toward the total
+    # node count) stream COO through the chunked device counts-GEMM into
+    # a device accumulator instead of densifying on host — the exact
+    # OOM shape this module exists to avoid at REDDIT-M-12K scale
+    _DENSE_WIDTH = 2048
+
+    def node_label_stream(ids_small, ids_big):
+        lab = np.zeros(pad, np.int32)
+        lab[:Ns] = ids_small
+        o = Ns
+        for i in big_idx:
+            lab[o:o + parts[i].N_pad] = ids_big[i]
+            o += parts[i].N_pad
+        return lab
+
+    def accumulate_dense(ids_small, ids_big, width):
         counts = np.zeros((n_graphs, width), np.float32)
         if Ns:
             np.add.at(counts, (sm_gids, ids_small), 1.0)
@@ -226,7 +271,15 @@ def large_graph_wl_gram(graphs, n_iter, mesh, big_threshold=10000,
     cur_big = {i: big_labels[i] for i in big_idx}
     width = max(len(enum), 1)
     for it in range(n_iter + 1):
-        K += accumulate(cur_small, cur_big, width)
+        if width <= _DENSE_WIDTH:
+            K += accumulate_dense(cur_small, cur_big, width)
+        else:
+            from ..ops.gram import coo_counts_gram_acc
+            if Kd is None:
+                Kd = jnp.zeros((n_graphs, n_graphs), jnp.float32)
+            Kd = coo_counts_gram_acc(
+                gids_p, node_label_stream(cur_small, cur_big), ones_p,
+                valid_p, n_graphs, width, Kd)
         if it == n_iter:
             break
         # hash both populations with the same arithmetic
@@ -239,9 +292,10 @@ def large_graph_wl_gram(graphs, n_iter, mesh, big_threshold=10000,
         hb = {}
         for i in big_idx:
             part = parts[i]
-            lab_sh = jnp.asarray(cur_big[i].reshape(P, part.npd))
-            h1, h2 = steps[i](lab_sh, *part.device_args())
-            hb[i] = (np.asarray(h1).ravel(), np.asarray(h2).ravel())
+            lab_sh = jax.device_put(cur_big[i].reshape(P, part.npd),
+                                    row_sh)
+            h1, h2 = steps[i](lab_sh, *part.device_args(row_sh))
+            hb[i] = (_to_host(h1).ravel(), _to_host(h2).ravel())
         # joint compaction: one shared id space per generation
         all_h1 = np.concatenate([h1s] + [hb[i][0] for i in big_idx]) \
             if big_idx else h1s
@@ -256,6 +310,9 @@ def large_graph_wl_gram(graphs, n_iter, mesh, big_threshold=10000,
             part = parts[i]
             cur_big[i] = ids[o:o + part.N_pad].astype(np.int32)
             o += part.N_pad
+    if Kd is not None:
+        from ..ops.gram import fetch_gram
+        K += np.asarray(fetch_gram(Kd), np.float64)
     return K
 
 

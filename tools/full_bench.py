@@ -51,6 +51,12 @@ DATASETS = {
     # (evaluation.rst:63-100) — this is the scaling demonstration.
     "REDDIT-B": dict(n_graphs=2000, r_vertices=(100, 760),
                      r_connectivity=(0.0035, 0.0075), features=None),
+    # REDDIT-MULTI-12K scale: 11929 graphs, avg ~391 vertices / ~457
+    # edges.  The reference's WL-VH / CORE-WL / ML rows are OUT-OF-MEM
+    # here and SP/NSPDK/GH TIMEOUT (evaluation.rst:63-100) — the
+    # dataset-scale demonstration VERDICT r2 asked for.
+    "REDDIT-M-12K": dict(n_graphs=11929, r_vertices=(90, 690),
+                         r_connectivity=(0.004, 0.008), features=None),
 }
 
 # published baseline wall seconds (BASELINE.md §A/§B); None = not published
@@ -92,7 +98,10 @@ PUBLISHED = {
     ("WL-PM", "ENZYMES"): 3937.26,
     ("SM", "ENZYMES"): 12343.59,
     ("GH", "IMDB-B"): 131.15,
+    ("GH", "NCI1"): 13508.31,
     ("ML", "IMDB-B"): 4926.04,
+    ("ML", "ENZYMES"): 3403.76,
+    ("ML", "NCI1"): 19856.29,
     # REDDIT-B column (evaluation.rst:63-100)
     ("VH", "REDDIT-B"): 0.67,
     ("WL-VH", "REDDIT-B"): 962.65,
@@ -103,6 +112,29 @@ PUBLISHED = {
     ("SVM-theta", "REDDIT-B"): 1164.73,
     ("SP", "REDDIT-B"): 17291.19,
     ("GR", "REDDIT-B"): 2685.42,
+    # REDDIT-M-12K column (evaluation.rst:63-100); WL-VH is OUT-OF-MEM
+    # for the reference, so no number exists for it
+    ("VH", "REDDIT-M-12K"): 6.37,
+    ("NH", "REDDIT-M-12K"): 33083.67,
+    ("PK", "REDDIT-M-12K"): 1241.73,
+    ("ODD-STh", "REDDIT-M-12K"): 500.66,
+    ("SVM-theta", "REDDIT-M-12K"): 3130.36,
+    ("PM", "REDDIT-M-12K"): 13838.60,
+    ("GR", "REDDIT-M-12K"): 3194.22,
+}
+
+# cells where the reference could not produce a number at all
+REF_FAILED = {
+    ("WL-VH", "REDDIT-M-12K"): "OUT-OF-MEM",
+    ("CORE-WL", "REDDIT-M-12K"): "OUT-OF-MEM",
+    ("ML", "REDDIT-M-12K"): "OUT-OF-MEM",
+    ("SP", "REDDIT-M-12K"): "TIMEOUT",
+    ("NSPDK", "REDDIT-M-12K"): "TIMEOUT",
+    ("GH", "REDDIT-M-12K"): "TIMEOUT",
+    ("RW", "REDDIT-B"): "TIMEOUT",
+    ("WL-SP", "REDDIT-B"): "TIMEOUT",
+    ("NSPDK", "REDDIT-B"): "TIMEOUT",
+    ("SM", "REDDIT-B"): "OUT-OF-MEM",
 }
 
 
@@ -140,24 +172,29 @@ def _kernels():
 
 # which (kernel, dataset) cells to run; order = fast first
 PLAN = [
-    ("VH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
-    ("WL-VH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("VH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
+            "REDDIT-M-12K"]),
+    ("WL-VH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
+               "REDDIT-M-12K"]),
     ("SP", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
-    ("NH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
-    ("PK", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("NH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
+            "REDDIT-M-12K"]),
+    ("PK", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
+            "REDDIT-M-12K"]),
     ("PM", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
-    ("ODD-STh", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("ODD-STh", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
+                 "REDDIT-M-12K"]),
     ("NSPDK", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B"]),
-    ("WL-OA", ["MUTAG", "ENZYMES"]),
+    ("WL-OA", ["MUTAG", "ENZYMES", "NCI1"]),
     ("CORE-WL", ["MUTAG", "ENZYMES", "NCI1"]),
     ("CORE-SP", ["MUTAG", "ENZYMES", "NCI1"]),
     ("WL-SP", ["MUTAG", "ENZYMES", "NCI1"]),
     ("SVM-theta", ["MUTAG", "IMDB-B", "REDDIT-B"]),
-    ("GR", ["MUTAG", "IMDB-B"]),
+    ("GR", ["MUTAG", "NCI1", "IMDB-B", "REDDIT-B"]),
     ("RW", ["MUTAG", "ENZYMES", "IMDB-B"]),
-    ("SM", ["MUTAG"]),
-    ("GH", ["MUTAG", "ENZYMES", "IMDB-B"]),
-    ("ML", ["MUTAG", "IMDB-B"]),
+    ("SM", ["MUTAG", "ENZYMES"]),
+    ("GH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B"]),
+    ("ML", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B"]),
     ("Lo-theta", ["MUTAG", "IMDB-B"]),
     ("WL-PM", ["MUTAG", "ENZYMES"]),
 ]
@@ -261,7 +298,8 @@ def main():
     with open(args.json, "w") as f:
         json.dump(merged, f, indent=1)
 
-    dnames = ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]
+    dnames = ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
+              "REDDIT-M-12K"]
     kernel_order = [k for k, _ in PLAN]
     for key in merged:
         k = key.split("/")[0]
@@ -273,11 +311,14 @@ def main():
         "Gram-matrix wall seconds (min of 2 runs, compile excluded by the",
         "repeat) on one TPU v5e chip behind a network tunnel, on synthetic",
         "datasets matching the published statistics (BASELINE.md §E;",
-        "REDDIT-B = 2000 graphs, ~430 avg vertices — the scale where the",
-        "reference OOMs/TIMEOUTs on most kernels).",
+        "REDDIT-B = 2000 graphs ~430 avg vertices, REDDIT-M-12K = 11929",
+        "graphs ~390 avg vertices — the scales where the reference",
+        "OOMs/TIMEOUTs on most kernels).",
         "Baseline = the reference's published single-thread CPU numbers",
-        "(BASELINE.md §A/§B, Xeon E7-4860 @2.27 GHz).  `--` = cell not run",
-        "or not published.",
+        "(BASELINE.md §A/§B, Xeon E7-4860 @2.27 GHz).  `--` = cell not",
+        "run or not published; OUT-OF-MEM/TIMEOUT = the reference failed",
+        "there (multiplier shown as inf); multipliers have one decimal",
+        "and cells where we LOSE are marked `SLOWER`.",
         "",
         "| Kernel | " + " | ".join(
             f"{d} ours | ref | x" for d in dnames) + " |",
@@ -289,10 +330,19 @@ def main():
         for d in dnames:
             secs = merged.get(f"{kname}/{d}")
             base = PUBLISHED.get((kname, d))
+            failed = REF_FAILED.get((kname, d))
             any_cell = any_cell or secs is not None
             row.append(f"{secs:.2f}s" if secs is not None else "--")
-            row.append(f"{base:.2f}s" if base else "--")
-            row.append(f"{base / secs:.0f}x" if secs and base else "--")
+            row.append(failed if failed else
+                       (f"{base:.2f}s" if base else "--"))
+            if secs and base:
+                m = base / secs
+                row.append(f"{m:.1f}x" if m >= 1
+                           else f"{m:.2f}x SLOWER")
+            elif secs and failed:
+                row.append("inf")
+            else:
+                row.append("--")
         if any_cell:
             lines.append("| " + " | ".join(row) + " |")
     lines.append("")

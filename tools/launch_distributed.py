@@ -68,17 +68,86 @@ def worker(args):
     graphs = normalize_input(train)
     edges = sum(len(g.senders) for g in graphs)
 
-    K = distributed_wl_gram(graphs, n_iter=args.n_iter, mesh=mesh)  # warm
+    if args.path == "dataset":
+        def run():
+            return distributed_wl_gram(graphs, n_iter=args.n_iter,
+                                       mesh=mesh)
+
+        def check(K):
+            K_single = np.asarray(
+                WeisfeilerLehman(n_iter=args.n_iter).fit_transform(train))
+            return np.allclose(K, K_single, rtol=1e-5, atol=1e-5)
+
+    elif args.path == "rect":
+        # rectangular ring Gram: rows = second half of the dataset
+        # (transform block), cols = first half, VH count features
+        from jax.sharding import NamedSharding, PartitionSpec
+        from grakel_tpu.parallel.gram import ring_rect_gram
+        from grakel_tpu.parallel.wl import _to_host
+        half = len(graphs) // 2
+        L = 8
+
+        def counts(gs):
+            rows = -(-len(gs) // n_devices) * n_devices
+            C = np.zeros((rows, L), np.float32)
+            for i, g in enumerate(gs):
+                labs = g.get_labels(label_type="vertex")
+                for v in range(g.n):
+                    C[i, int(labs[v]) % L] += 1.0
+            return C
+        Crows, Ccols = counts(graphs[half:]), counts(graphs[:half])
+        sh = NamedSharding(mesh, PartitionSpec("g", None))
+
+        def run():
+            Kd = ring_rect_gram(mesh, jax.device_put(Crows, sh),
+                                jax.device_put(Ccols, sh))
+            return _to_host(Kd)[:len(graphs) - half]
+
+        def check(K):
+            # ring layout: column block j of the result holds rows
+            # against device j's feature block
+            exp = Crows @ Ccols.T
+            return np.allclose(K[:, :half], exp[:len(graphs) - half,
+                                                :half], rtol=1e-5)
+
+    elif args.path == "large":
+        # mixed dataset: ordinary graphs + one edge-partitioned big graph
+        from grakel_tpu.parallel.large_graph import large_graph_wl_gram
+        from grakel_tpu.graph import Graph
+        rng = np.random.RandomState(0)
+        nbig = args.big_nodes
+        s = rng.randint(0, nbig, size=3 * nbig)
+        r = rng.randint(0, nbig, size=3 * nbig)
+        keep = s != r
+        big = Graph.from_arrays(
+            nbig, np.concatenate([s[keep], r[keep]]),
+            np.concatenate([r[keep], s[keep]]),
+            node_labels={v: int(x) for v, x in
+                         enumerate(rng.randint(0, 4, nbig))})
+        mixed = graphs + [big]
+        edges += len(big.senders)
+
+        def run():
+            return large_graph_wl_gram(mixed, n_iter=args.n_iter,
+                                       mesh=mesh, big_threshold=1000)
+
+        def check(K):
+            K_single = np.asarray(WeisfeilerLehman(
+                n_iter=args.n_iter).fit_transform(mixed))
+            return np.allclose(K, K_single, rtol=1e-5, atol=1e-5)
+    else:
+        raise SystemExit("unknown --path %r" % args.path)
+
+    K = run()  # warm (compiles)
     t0 = time.perf_counter()
     for _ in range(args.repeats):
-        K = distributed_wl_gram(graphs, n_iter=args.n_iter, mesh=mesh)
+        K = run()
     dt = (time.perf_counter() - t0) / args.repeats
 
     if args.process_id == 0:
-        K_single = np.asarray(
-            WeisfeilerLehman(n_iter=args.n_iter).fit_transform(train))
-        ok = bool(np.allclose(K, K_single, rtol=1e-5, atol=1e-5))
+        ok = bool(check(np.asarray(K)))
         print(json.dumps({
+            "path": args.path,
             "processes": args.processes,
             "devices_per_proc": args.devices_per_proc,
             "graphs": args.graphs, "n_iter": args.n_iter,
@@ -97,6 +166,12 @@ def main():
     ap.add_argument("--graphs", type=int, default=64)
     ap.add_argument("--n-iter", type=int, default=3)
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--path", default="dataset",
+                    choices=["dataset", "rect", "large"],
+                    help="which sharded code path to exercise")
+    ap.add_argument("--big-nodes", type=int, default=3000,
+                    help="size of the edge-partitioned graph (--path "
+                         "large)")
     ap.add_argument("--coordinator", default="127.0.0.1:12381")
     ap.add_argument("--process-id", type=int, default=None,
                     help="internal: set when running as a worker")
@@ -119,6 +194,8 @@ def main():
                "--graphs", str(args.graphs),
                "--n-iter", str(args.n_iter),
                "--repeats", str(args.repeats),
+               "--path", args.path,
+               "--big-nodes", str(args.big_nodes),
                "--coordinator", args.coordinator,
                "--process-id", str(pid)]
         procs.append(subprocess.Popen(
