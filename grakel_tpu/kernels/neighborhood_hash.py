@@ -136,26 +136,52 @@ class NeighborhoodHash(Kernel):
         send = np.full(E_pad, N_pad - 1, np.int32)
         recv = np.full(E_pad, N_pad - 1, np.int32)
         e_msk = np.zeros(E_pad, bool)
-        epos = 0
-        for gi, g in enumerate(graphs):
-            o = int(offs[gi])
-            labs = g.get_labels(label_type="vertex", return_none=True)
-            if labs is None:
-                raise ValueError("NeighborhoodHash requires node labels")
-            for v in range(g.n):
-                h = self._labels_hash_dict.get(labs[v])
-                if h is None:
-                    lab_valid[o + v] = False
-                else:
-                    lab[o + v] = h
-                    lab_valid[o + v] = True
-            node_msk[o:o + g.n] = True
-            gids[o:o + g.n] = gi
-            m = len(g.senders)
-            send[epos:epos + m] = g.senders + o
-            recv[epos:epos + m] = g.receivers + o
-            e_msk[epos:epos + m] = True
-            epos += m
+
+        # label hashing: vectorized when every graph has a full integer
+        # label dict (only the DISTINCT values touch the hash dict)
+        arrs = []
+        for g in graphs:
+            a = (g.numeric_node_label_array()
+                 if g.node_labels and len(g.node_labels) == g.n else None)
+            if a is None:
+                arrs = None
+                break
+            arrs.append(a)
+        if arrs is not None and N:
+            uniq, inv = np.unique(np.concatenate(arrs),
+                                  return_inverse=True)
+            lut = np.fromiter(
+                (self._labels_hash_dict.get(int(u), -1) for u in uniq),
+                np.int64, len(uniq))
+            mapped = lut[inv.reshape(-1)]
+            lab[:N] = np.where(mapped >= 0, mapped, 0).astype(np.uint32)
+            lab_valid[:N] = mapped >= 0
+        else:
+            for gi, g in enumerate(graphs):
+                o = int(offs[gi])
+                labs = g.get_labels(label_type="vertex", return_none=True)
+                if labs is None:
+                    raise ValueError(
+                        "NeighborhoodHash requires node labels")
+                for v in range(g.n):
+                    h = self._labels_hash_dict.get(labs[v])
+                    if h is None:
+                        lab_valid[o + v] = False
+                    else:
+                        lab[o + v] = h
+                        lab_valid[o + v] = True
+        node_msk[:N] = True
+        gids[:N] = np.repeat(np.arange(n, dtype=np.int32),
+                             n_nodes.astype(np.int64))
+        n_edges = np.fromiter((len(g.senders) for g in graphs), np.int64,
+                              n)
+        if E:
+            e_off = np.repeat(offs[:-1], n_edges).astype(np.int32)
+            send[:E] = np.concatenate(
+                [g.senders for g in graphs]) + e_off
+            recv[:E] = np.concatenate(
+                [g.receivers for g in graphs]) + e_off
+            e_msk[:E] = True
 
         hists = _nh_rounds(
             jnp.asarray(lab), jnp.asarray(lab_valid), jnp.asarray(node_msk),

@@ -109,7 +109,13 @@ class Propagation(Kernel):
                     raise TypeError("Propagation matrix must have the same "
                                     "dimension as the number of vertices.")
             else:
-                T = g.get_adjacency_matrix()
+                # sparse COO -> CSR: never densify the adjacency (a
+                # dense [n, n] float64 per graph is the host-OOM shape
+                # at REDDIT-M-12K dataset scale)
+                import scipy.sparse as sp
+                T = sp.csr_matrix(
+                    (g.weights.astype(np.float64),
+                     (g.senders, g.receivers)), shape=(g.n, g.n))
             out.append((g, normalizer(T, axis=1, norm="l1")))
         if len(out) == 0:
             raise ValueError("Parsed input is empty")
@@ -205,11 +211,24 @@ class Propagation(Kernel):
 
         col_of, per_graph = self._label_columns(graphs)
         width = len(col_of)
-        col_idx = np.empty(offsets[-1], dtype=np.intp)
-        for k, lab in enumerate(per_graph):
-            col_idx[offsets[k]:offsets[k + 1]] = [
-                col_of[lab[j]] for j in range(int(offsets[k + 1]
-                                                  - offsets[k]))]
+        # per-node label -> column, vectorized when labels are integer
+        # arrays (only distinct values touch the dict); the enum itself
+        # keeps the reference's set-iteration order (RandomState parity)
+        arrs = [g.numeric_node_label_array()
+                if g.node_labels and len(g.node_labels) == g.n else None
+                for g, _ in graphs]
+        if all(a is not None for a in arrs) and offsets[-1]:
+            uniq, inv = np.unique(np.concatenate(arrs),
+                                  return_inverse=True)
+            lut = np.fromiter((col_of[int(u)] for u in uniq), np.intp,
+                              len(uniq))
+            col_idx = lut[inv.reshape(-1)]
+        else:
+            col_idx = np.empty(int(offsets[-1]), dtype=np.intp)
+            for k, lab in enumerate(per_graph):
+                col_idx[offsets[k]:offsets[k + 1]] = [
+                    col_of[lab[j]] for j in range(int(offsets[k + 1]
+                                                      - offsets[k]))]
         P = np.zeros((int(offsets[-1]), width))
         P[np.arange(len(col_idx)), col_idx] = 1.0
 
