@@ -48,7 +48,10 @@ def _rot(x, d, bits, mask):
 
 
 def _xor_segment(values, segment_ids, num_segments, bits):
-    """XOR-aggregate uint32 values per segment via bit-plane parity."""
+    """XOR-aggregate uint32 values per segment via bit-plane parity
+    (XOR per bit == sum parity per bit; one segment_sum per plane —
+    packing several planes into one integer word is unsafe because a
+    carry out of one counter field corrupts the next plane's parity)."""
     out = jnp.zeros(num_segments, _U)
     for b in range(bits):
         plane = (values >> _U(b)) & _U(1)
@@ -265,13 +268,17 @@ def _nh_rounds(lab, lab_valid, node_msk, gids, send, recv, e_msk,
         new_lab = (_rot(lab & mask, _U(1), bits_u, mask) ^ agg) & mask
         return new_lab, new_valid
 
-    hists = []
-    for _ in range(R):
-        lab, lab_valid = one_round(lab, lab_valid)
+    # scan over rounds: the round body compiles ONCE (an unrolled loop
+    # tripled the XLA program and its compile time on the tunnel)
+    def scan_round(carry, _):
+        lab, lab_valid = one_round(*carry)
         seg = jnp.where(lab_valid & node_msk,
                         gids * L + lab.astype(jnp.int32), n_graphs * L)
         h = jax.ops.segment_sum(
-            jnp.where(lab_valid & node_msk, 1.0, 0.0).astype(jnp.float32),
+            jnp.where(lab_valid & node_msk, 1.0, 0.0)
+            .astype(jnp.float32),
             seg, num_segments=(n_graphs + 1) * L)
-        hists.append(h.reshape(n_graphs + 1, L)[:n_graphs])
-    return jnp.stack(hists)
+        return (lab, lab_valid), h.reshape(n_graphs + 1, L)[:n_graphs]
+
+    _, hists = jax.lax.scan(scan_round, (lab, lab_valid), None, length=R)
+    return hists

@@ -150,18 +150,33 @@ def min_intersection_gram_rounds(A, B=None, tile=64, force_pallas=None):
                                  TI, TJ)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
-def _jaccard_rounds_impl(A, B, va, vb, symmetrize, use_pallas, interpret,
-                         TI, TJ):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _jaccard_rounds_impl(A, B, va, vb, symmetrize, T):
     """K = mean_r where(denom > 0, c_r / denom, 0) with
-    denom = va[:,None] + vb[None,:] - c_r, entirely on device."""
+    denom = va[:,None] + vb[None,:] - c_r, entirely on device.
+
+    The min-intersection uses the threshold-indicator identity
+    ``sum_l min(a_l, b_l) = sum_{t=1..T} sum_l [a_l>=t][b_l>=t]`` so
+    each term is ONE MXU GEMM of 0/1 bf16 indicator matrices (exact in
+    f32 accumulation).  This keeps the hot loop on the systolic array
+    and — unlike a Pallas kernel — compiles in seconds on a tunneled
+    backend (measured: ~80 s per Pallas program compile vs ~2 s here).
+    ``T`` is the (bucketed) max histogram entry.
+    """
     R = A.shape[0]
-    acc = jnp.zeros((A.shape[1], B.shape[1]), jnp.float32)
+    n, m = A.shape[1], B.shape[1]
+    acc = jnp.zeros((n, m), jnp.float32)
     for r in range(R):
-        if use_pallas:
-            c = _pallas_min_gram(A[r], B[r], interpret)
-        else:
-            c = _min_gram_impl(A[r], B[r], TI, TJ)
+        a, b = A[r], B[r]
+
+        def term(t, c):
+            at = (a >= t).astype(jnp.bfloat16)
+            bt = (b >= t).astype(jnp.bfloat16)
+            return c + jnp.dot(at, bt.T,
+                               preferred_element_type=jnp.float32)
+
+        c = jax.lax.fori_loop(1, T + 1, term,
+                              jnp.zeros((n, m), jnp.float32))
         denom = va[:, None] + vb[None, :] - c
         acc = acc + jnp.where(denom > 0, c / denom, 0.0)
     acc = acc / R
@@ -171,7 +186,7 @@ def _jaccard_rounds_impl(A, B, va, vb, symmetrize, use_pallas, interpret,
 
 
 def jaccard_gram_rounds(A, B=None, va=None, vb=None, symmetrize=None,
-                        tile=64, force_pallas=None):
+                        max_count=None):
     """Multiset-Jaccard Gram averaged over rounds (the NeighborhoodHash
     comparison, reference neighborhood_hash.py:534-573):
 
@@ -179,19 +194,27 @@ def jaccard_gram_rounds(A, B=None, va=None, vb=None, symmetrize=None,
     ``c_r = sum_l min(A[r, i, l], B[r, j, l])`` and 0/0 (empty graph)
     mapped to 0.
 
-    A: [R, n, L] per-round histograms, va: [n] vertex counts (likewise
-    B [R, m, L] / vb [m]; both default to the A side).  Runs as ONE jit
-    on the default backend — the per-round min-Gram (Pallas on TPU,
-    dynamic-slice tiles elsewhere), the division, the round mean and the
-    symmetrization all fuse, so a single [n, m] f32 leaves the device
-    instead of an [R, n, m] count stack (the NH bottleneck on a
-    tunneled backend).  Returns the PADDED device array; callers slice
-    ``[:n, :m]`` after fetching.
+    A: [R, n, L] per-round integer histograms, va: [n] vertex counts
+    (likewise B [R, m, L] / vb [m]; both default to the A side).  Runs
+    as ONE jit on the default backend — the per-round threshold-GEMM
+    min-intersections (see :func:`_jaccard_rounds_impl`), the division,
+    the round mean and the symmetrization all fuse, so a single [n, m]
+    f32 leaves the device instead of an [R, n, m] count stack (the NH
+    bottleneck on a tunneled backend).  ``max_count`` (the largest
+    histogram entry) is computed on host when not given and bucketed to
+    a power of two to bound recompilation.  Returns the PADDED device
+    array; callers slice ``[:n, :m]`` after fetching.
     """
     same = B is None or B is A        # avoid uploading one array twice
     sym = same if symmetrize is None else symmetrize
-    A = jnp.asarray(np.asarray(A), jnp.float32)
-    B = A if same else jnp.asarray(np.asarray(B), jnp.float32)
+    A_host = np.asarray(A)
+    B_host = A_host if same else np.asarray(B)
+    if max_count is None:
+        max_count = max(float(A_host.max(initial=0.0)),
+                        float(B_host.max(initial=0.0)))
+    T = max(1, 1 << (max(int(max_count), 1) - 1).bit_length())
+    A = jnp.asarray(A_host, jnp.float32)
+    B = A if same else jnp.asarray(B_host, jnp.float32)
     R, n, L = A.shape
     m = B.shape[1]
     va = (jnp.full(n, 1.0, jnp.float32) if va is None
@@ -201,20 +224,11 @@ def jaccard_gram_rounds(A, B=None, va=None, vb=None, symmetrize=None,
     else:
         vb = (jnp.full(m, 1.0, jnp.float32) if vb is None
               else jnp.asarray(np.asarray(vb), jnp.float32))
-    backend = jax.default_backend()
-    use_pallas = (backend not in ("cpu",)) if force_pallas is None \
-        else force_pallas
-    if use_pallas:
-        Lp = -(-L // _TL) * _TL
-        npad = -(-n // _TI) * _TI
-        mpad = -(-m // _TJ) * _TJ
-        TI = TJ = 0
-    else:
-        TI = min(tile, max(8, n))
-        TJ = min(tile, max(8, m))
-        npad = -(-n // TI) * TI
-        mpad = -(-m // TJ) * TJ
-        Lp = L
+    Lp = -(-L // 128) * 128
+    npad = -(-n // 8) * 8
+    mpad = -(-m // 128) * 128
+    if sym:   # symmetrization needs square pads
+        npad = mpad = max(-(-n // 128) * 128, mpad)
     if (npad, Lp) != (n, L):
         A = jnp.pad(A, ((0, 0), (0, npad - n), (0, Lp - L)))
     if (mpad, Lp) != (m, L):
@@ -223,22 +237,58 @@ def jaccard_gram_rounds(A, B=None, va=None, vb=None, symmetrize=None,
         va = jnp.pad(va, (0, npad - n))
     if mpad != m:
         vb = jnp.pad(vb, (0, mpad - m))
-    # symmetrizing requires the pad shapes to agree (they do when B is A)
-    sym = sym and npad == mpad
-    return _jaccard_rounds_impl(A, B, va, vb, sym, use_pallas,
-                                backend == "cpu", TI, TJ)
+    return _jaccard_rounds_impl(A, B, va, vb, sym, T)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _min_gram_gemm(A, B, T):
+    """Threshold-indicator decomposition on the MXU:
+    ``sum_l min(a_l, b_l) = sum_{t=1..T} <[a>=t], [b>=t]>`` — exact for
+    integer histograms (0/1 bf16 operands, f32 accumulation), and the
+    whole program is T fused GEMMs that XLA compiles in seconds where a
+    Pallas kernel costs ~80 s per program on a tunneled backend."""
+    def term(t, c):
+        at = (A >= t).astype(jnp.bfloat16)
+        bt = (B >= t).astype(jnp.bfloat16)
+        return c + jnp.dot(at, bt.T, preferred_element_type=jnp.float32)
+
+    K0 = jnp.zeros((A.shape[0], B.shape[0]), jnp.float32)
+    return jax.lax.fori_loop(1, T + 1, term, K0)
+
+
+# integer histograms with max entry up to this take the GEMM path
+_GEMM_MAX_T = 2048
 
 
 def min_intersection_gram(A, B=None, tile=64, force_pallas=None):
     """K[i, j] = sum_l min(A[i, l], B[j, l]); B defaults to A.
 
-    A: [n, L], B: [m, L] (numpy or jax).  On TPU backends the tiled
-    Pallas kernel runs; elsewhere (or with ``force_pallas=False``) the
-    jnp dynamic-slice tiling is used.  ``force_pallas=True`` runs the
-    Pallas kernel in interpreter mode on non-TPU backends (tests).
+    A: [n, L], B: [m, L] (numpy or jax).  Integer-valued inputs (every
+    histogram-intersection caller: WL-OA hierarchy histograms,
+    PyramidMatch cell counts, NH label multisets) run as threshold-
+    indicator GEMMs on the MXU (:func:`_min_gram_gemm`).  Real-valued
+    inputs fall back to the broadcast-min path: the Pallas kernel on
+    TPU backends, jnp dynamic-slice tiling elsewhere.
+    ``force_pallas=True`` runs the Pallas kernel in interpreter mode on
+    non-TPU backends (tests); ``force_pallas=False`` forces the tiling.
     """
-    A = jnp.asarray(np.asarray(A), jnp.float32)
-    B = A if B is None else jnp.asarray(np.asarray(B), jnp.float32)
+    A_host = np.asarray(A)
+    B_host = A_host if B is None else np.asarray(B)
+    if force_pallas is None and A_host.size and B_host.size:
+        mx = max(float(A_host.max(initial=0.0)),
+                 float(B_host.max(initial=0.0)))
+        if (0.0 <= mx <= _GEMM_MAX_T
+                and float(A_host.min(initial=0.0)) >= 0.0
+                and float(B_host.min(initial=0.0)) >= 0.0
+                and not np.any(A_host != np.floor(A_host))
+                and not np.any(B_host != np.floor(B_host))):
+            T = max(1, 1 << (max(int(mx), 1) - 1).bit_length())
+            Af = jnp.asarray(A_host, jnp.float32)
+            Bf = Af if B_host is A_host else jnp.asarray(B_host,
+                                                        jnp.float32)
+            return np.asarray(_min_gram_gemm(Af, Bf, T))
+    A = jnp.asarray(A_host, jnp.float32)
+    B = A if B_host is A_host else jnp.asarray(B_host, jnp.float32)
     n, m = A.shape[0], B.shape[0]
     backend = jax.default_backend()
     use_pallas = (backend not in ("cpu",)) if force_pallas is None \

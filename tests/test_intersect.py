@@ -37,16 +37,15 @@ def _jaccard_np(A, B, va, vb):
     return out / R
 
 
-@pytest.mark.parametrize("force_pallas", [False, True])
-def test_jaccard_rounds(force_pallas):
+@pytest.mark.parametrize("maxval", [2, 4, 9])
+def test_jaccard_rounds(maxval):
     from grakel_tpu.ops.intersect import jaccard_gram_rounds
     rng = np.random.RandomState(2)
-    A = rng.randint(0, 4, (3, 12, 40)).astype(np.float32)
-    B = rng.randint(0, 4, (3, 9, 40)).astype(np.float32)
+    A = rng.randint(0, maxval, (3, 12, 40)).astype(np.float32)
+    B = rng.randint(0, maxval, (3, 9, 40)).astype(np.float32)
     va = A.sum(axis=(0, 2)) / 3.0 + 1.0
     vb = B.sum(axis=(0, 2)) / 3.0 + 1.0
-    got = np.asarray(jaccard_gram_rounds(
-        A, B, va=va, vb=vb, force_pallas=force_pallas))[:12, :9]
+    got = np.asarray(jaccard_gram_rounds(A, B, va=va, vb=vb))[:12, :9]
     np.testing.assert_allclose(got, _jaccard_np(A, B, va, vb),
                                rtol=1e-5, atol=1e-5)
 
