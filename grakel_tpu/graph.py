@@ -153,7 +153,12 @@ class Graph(object):
         self.edge_labels = {}
         self._index_of = {}      # symbol -> index; None = identity 0..n-1
         self._symbol_of = {}     # index -> symbol; None = identity
+        # structure-derived caches only (adj/sp/lap/nbr) — safe to SHARE
+        # between same-structure graphs with different labels (the WL
+        # frameworks relabel per generation; sharing makes e.g. WL-SP
+        # compute Floyd-Warshall once instead of once per generation)
         self._cache = {}
+        self._nlarr = False      # numeric-label cache (label-dependent)
         if initialization_object is not None:
             self.build_graph(initialization_object, node_labels, edge_labels)
 
@@ -229,6 +234,7 @@ class Graph(object):
     # ------------------------------------------------------------------ #
     def build_graph(self, g, node_labels=None, edge_labels=None):
         self._cache = {}
+        self._nlarr = False
         self._adj_pending = None
         ok_adj = is_adjacency(g)
         if ok_adj and self._format_hint != "dictionary":
@@ -402,7 +408,7 @@ class Graph(object):
         """int64[n] of node labels in index order, or ``None`` when any
         label is non-integer (packing fast path; see batch.from_graphs).
         Unlabeled vertices get 0, matching ``get_labels`` defaults."""
-        if "nlarr" not in self._cache:
+        if self._nlarr is False:
             arr = np.zeros(self.n, dtype=np.int64)
             if self.node_labels:
                 try:
@@ -411,11 +417,11 @@ class Graph(object):
                     vs = np.fromiter(self.node_labels.values(), np.int64,
                                      len(self.node_labels))
                 except (TypeError, ValueError):
-                    self._cache["nlarr"] = None
+                    self._nlarr = None
                     return None
                 arr[ks] = vs
-            self._cache["nlarr"] = arr
-        return self._cache["nlarr"]
+            self._nlarr = arr
+        return self._nlarr
 
     def label(self, v, label_type="vertex"):
         return self.get_label(v, label_type)

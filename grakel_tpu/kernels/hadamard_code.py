@@ -279,10 +279,16 @@ class HadamardCode(Kernel):
 
         def materialize(labels):
             from ..graph import Graph
-            return [Graph.from_arrays(
-                g.n, g.senders, g.receivers, g.weights,
-                {v: tuple(lab[v]) for v in lab}, g.edge_labels)
-                for g, lab in zip(graphs, labels)]
+            out = []
+            for g, lab in zip(graphs, labels):
+                ng = Graph.from_arrays(
+                    g.n, g.senders, g.receivers, g.weights,
+                    {v: tuple(lab[v]) for v in lab}, g.edge_labels)
+                # share structural caches across iterations (e.g. an SP
+                # base kernel then solves Floyd-Warshall once per graph)
+                ng._cache = g._cache
+                out.append(ng)
+            return out
 
         yield materialize(labels)
         for _ in range(1, self.n_iter):

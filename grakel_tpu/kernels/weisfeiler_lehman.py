@@ -372,9 +372,16 @@ class WeisfeilerLehman(Kernel):
 
     @staticmethod
     def _materialize(graphs, labelings):
-        return [Graph.from_arrays(g.n, g.senders, g.receivers, g.weights,
-                                  labelings[i], g.edge_labels)
-                for i, g in enumerate(graphs)]
+        out = []
+        for i, g in enumerate(graphs):
+            ng = Graph.from_arrays(g.n, g.senders, g.receivers, g.weights,
+                                   labelings[i], g.edge_labels)
+            # generations share the source graph's STRUCTURAL cache (the
+            # same object), so a ShortestPath base kernel computes each
+            # graph's Floyd-Warshall once instead of once per generation
+            ng._cache = g._cache
+            out.append(ng)
+        return out
 
     def _host_fit(self, graphs, with_gram):
         """One base-kernel instance per generation; generations refined

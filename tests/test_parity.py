@@ -280,6 +280,16 @@ class TestWeisfeilerLehman:
         fit, tr = mutag_split
         check_pair("WeisfeilerLehman", fit, tr, n_iter=3, normalize=True)
 
+    def test_sp_base(self, mutag_small):
+        # general (host) path + shared structural caches across
+        # generations (Floyd-Warshall computed once per graph)
+        fit, tr = mutag_small
+        import grakel.kernels as rk
+        import grakel_tpu.kernels as ok
+        check_pair("WeisfeilerLehman", fit, tr, n_iter=3,
+                   ref_params={"base_graph_kernel": (rk.ShortestPath, {})},
+                   our_params={"base_graph_kernel": (ok.ShortestPath, {})})
+
 
 class TestNSPD:
     def test_gram(self, mutag_small):
