@@ -16,9 +16,22 @@ Reference semantics (grakel/kernels/weisfeiler_lehman_optimal_assignment.py):
 TPU split: the credential refinement + hierarchy stay on host (string
 credentials with the reference's exact sorted global enumeration); the
 O(N^2) histogram-intersection Gram — where the reference's double loop
-spends its time — runs as the tiled device min-intersection
-(ops/intersect.py).  Histogram accumulation is vectorized by
-precomputing each label's ancestor chain once.
+spends its time — uses the unary-threshold identity
+
+    sum_l min(a_l, b_l) = sum_{(l, t): t <= max} [a_l >= t][b_l >= t]
+
+so a histogram entry of count c becomes c sparse 0/1 features
+``(l, 1..c)``.  The expanded stream's size is the TOTAL HISTOGRAM MASS
+(= (n_iter+1) * total vertices — each vertex contributes one unit per
+ancestor generation), NOT n_graphs * hierarchy_width: at NCI1 scale
+that is ~7e5 COO entries instead of a 4110 x ~5e5 dense matrix, and
+the Gram is the same chunked counts-GEMM every histogram kernel uses
+(ops/gram.coo_counts_gram).  Expanded feature ids are compacted on host
+with np.unique; at transform time mapping through the FIT enumeration
+is exact (a transform feature (l, t) absent from fit means no fit graph
+reaches count t at l, so its indicator column is all-zero on the fit
+side and contributes nothing — the same argument covers the reference's
+truncation to the fit histogram width).
 """
 
 from __future__ import annotations
@@ -28,8 +41,8 @@ import warnings
 import numpy as np
 
 from .base import Kernel, normalize_input
-from ..ops.gram import normalize_gram
-from ..ops.intersect import min_intersection_gram
+from ..ops.gram import (coo_counts_gram, coo_counts_gram_rect, fetch_gram,
+                        normalize_gram)
 
 __all__ = ["WeisfeilerLehmanOptimalAssignment"]
 
@@ -69,9 +82,14 @@ class WeisfeilerLehmanOptimalAssignment(Kernel):
                     "w": h[previous_label]["w"] + 1, "omega": 1}
         h[previous_label]["children"].append(label)
 
-    def _histograms(self, labels_per_graph, width):
-        """Vectorized ancestor-chain accumulation."""
-        # ancestor chains per label id (computed once per call)
+    def _sparse_histograms(self, labels_per_graph):
+        """Ancestor-chain histograms as an expanded unary COO stream.
+
+        Returns ``(gids, ekeys, mass)``: for every (graph, hierarchy
+        node) entry with count c, c int64 keys ``(hid << 32) | t``
+        (t = 1..c — a fixed encoding so transform keys map through the
+        fit enumeration); ``mass[j]`` = total histogram mass of graph j
+        (= its intersection self-term sum_l min(h, h) = sum_l h)."""
         chains = {}
 
         def chain_of(l):
@@ -85,12 +103,29 @@ class WeisfeilerLehmanOptimalAssignment(Kernel):
                 chains[l] = c
             return c
 
-        H = np.zeros((len(labels_per_graph), width))
+        gl, hl = [], []
         for j, L in enumerate(labels_per_graph):
-            for v, l in L.items():
+            for l in L.values():
                 for node, omega in chain_of(l):
-                    H[j, node] += omega
-        return H
+                    gl.extend((j,) * omega)
+                    hl.extend((node,) * omega)
+        n = len(labels_per_graph)
+        gids = np.asarray(gl, np.int64)
+        hids = np.asarray(hl, np.int64)
+        if gids.size == 0:
+            return gids, hids, np.zeros(n)
+        # per-(graph, hid) counts -> unary expansion (hid, t=1..c)
+        base = np.int64(len(self._hierarchy) + 1)
+        pair = gids * base + hids
+        upair, counts = np.unique(pair, return_counts=True)
+        g_rep = np.repeat(upair // base, counts)
+        h_rep = np.repeat(upair % base, counts)
+        # t-index within each run of equal (graph, hid)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        t = np.arange(g_rep.size, dtype=np.int64) - np.repeat(offs, counts)
+        ekeys = (h_rep << np.int64(32)) | (t + 1)
+        mass = np.bincount(gids, minlength=n).astype(np.float64)
+        return g_rep, ekeys, mass
 
     # ------------------------------------------------------------------ #
     def fit(self, X, y=None):
@@ -140,15 +175,25 @@ class WeisfeilerLehmanOptimalAssignment(Kernel):
                 label_count += 1
             L = [{v: WL_inv[c[v]] for v in c} for c in L_temp]
             self._inv_labels[i] = WL_inv
-        return self._histograms(L, len(self._hierarchy))
+        gids, ekeys, mass = self._sparse_histograms(L)
+        # fit enumeration: sorted unique expanded keys; eids dense in it
+        self._ekeys = np.unique(ekeys)
+        eids = np.searchsorted(self._ekeys, ekeys)
+        self._mass = mass
+        return {"gids": gids, "eids": eids, "n": nx,
+                "width": len(self._ekeys)}
 
     def fit_transform(self, X, y=None):
         self._method_calling = 2
         self._is_transformed = False
         self.initialize()
         self.X = self._parse_fit(X)
-        K = min_intersection_gram(self.X, self.X)
-        self._X_diag = np.diagonal(K).copy()
+        n, w = self.X["n"], self.X["width"]
+        ones = np.ones(self.X["gids"].shape[0], np.float32)
+        valid = np.ones(self.X["gids"].shape[0], bool)
+        K = fetch_gram(coo_counts_gram(self.X["gids"], self.X["eids"],
+                                       ones, valid, n, max(w, 1)))[:n, :n]
+        self._X_diag = self._mass.copy()
         self._K_fit = K
         if self.normalize:
             K = normalize_gram(K, self._X_diag, self._X_diag)
@@ -197,9 +242,22 @@ class WeisfeilerLehmanOptimalAssignment(Kernel):
                 label_count += 1
             L = [{v: self._inv_labels[i].get(c[v], WL_inv.get(c[v]))
                   for v in c} for c in L_temp]
-        Hs = self._histograms(L, len(self._hierarchy))
-        self.Y = Hs
-        K = min_intersection_gram(Hs[:, :self.X.shape[1]], self.X)
+        gids, ekeys, mass = self._sparse_histograms(L)
+        self._Y_mass = mass
+        # map through the FIT enumeration; unseen (hid, t) keys have an
+        # all-zero indicator column on the fit side -> contribute 0
+        # (this also subsumes the reference's truncation to fit width)
+        pos = np.searchsorted(self._ekeys, ekeys)
+        pos_c = np.minimum(pos, max(len(self._ekeys) - 1, 0))
+        hit = (self._ekeys[pos_c] == ekeys) if len(self._ekeys) else \
+            np.zeros(ekeys.shape[0], bool)
+        ones_y = np.ones(gids.shape[0], np.float32)
+        ones_x = np.ones(self.X["gids"].shape[0], np.float32)
+        valid_x = np.ones(self.X["gids"].shape[0], bool)
+        K = fetch_gram(coo_counts_gram_rect(
+            gids, pos_c, ones_y, hit,
+            self.X["gids"], self.X["eids"], ones_x, valid_x,
+            nx, self.X["n"], max(self.X["width"], 1)))
         self._is_transformed = True
         if self.normalize:
             X_diag, Y_diag = self.diagonal()
@@ -211,7 +269,7 @@ class WeisfeilerLehmanOptimalAssignment(Kernel):
         if not hasattr(self, "X") or self.X is None:
             raise NotFittedError("call fit before diagonal")
         if self._X_diag is None:
-            self._X_diag = self.X.sum(axis=1)
+            self._X_diag = self._mass.copy()
         if getattr(self, "_is_transformed", False):
-            return self._X_diag, self.Y.sum(axis=1)
+            return self._X_diag, self._Y_mass
         return self._X_diag

@@ -176,21 +176,23 @@ PLAN = [
             "REDDIT-M-12K"]),
     ("WL-VH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
                "REDDIT-M-12K"]),
-    ("SP", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("SP", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
+            "REDDIT-M-12K"]),
     ("NH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
             "REDDIT-M-12K"]),
     ("PK", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
             "REDDIT-M-12K"]),
-    ("PM", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("PM", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
+            "REDDIT-M-12K"]),
     ("ODD-STh", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
                  "REDDIT-M-12K"]),
-    ("NSPDK", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B"]),
+    ("NSPDK", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
     ("WL-OA", ["MUTAG", "ENZYMES", "NCI1"]),
     ("CORE-WL", ["MUTAG", "ENZYMES", "NCI1"]),
     ("CORE-SP", ["MUTAG", "ENZYMES", "NCI1"]),
     ("WL-SP", ["MUTAG", "ENZYMES", "NCI1"]),
-    ("SVM-theta", ["MUTAG", "IMDB-B", "REDDIT-B"]),
-    ("GR", ["MUTAG", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("SVM-theta", ["MUTAG", "IMDB-B", "REDDIT-B", "REDDIT-M-12K"]),
+    ("GR", ["MUTAG", "NCI1", "IMDB-B", "REDDIT-B", "REDDIT-M-12K"]),
     ("RW", ["MUTAG", "ENZYMES", "IMDB-B"]),
     ("SM", ["MUTAG", "ENZYMES"]),
     ("GH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B"]),
@@ -345,6 +347,10 @@ def main():
                 row.append("--")
         if any_cell:
             lines.append("| " + " | ".join(row) + " |")
+    lines.append("")
+    lines.append("Per-stage wall-time breakdowns for every sub-50x cell"
+                 " (dispatch/transfer-floor analysis) are in"
+                 " [stage_breakdown.md](stage_breakdown.md).")
     lines.append("")
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
