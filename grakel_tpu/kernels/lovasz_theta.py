@@ -25,7 +25,7 @@ from __future__ import annotations
 import warnings
 
 import numpy as np
-from numpy.linalg import LinAlgError, cholesky, norm, solve
+from numpy.linalg import LinAlgError, cholesky
 from sklearn.utils import check_random_state
 
 from .base import Kernel, normalize_input
@@ -35,12 +35,51 @@ from ..tools import distribute_samples
 __all__ = ["LovaszTheta"]
 
 angle_precision = 1e-6
-tolerance = 1e-1
 min_weight = 1e-10
 
 
 def inner_product(x, y):
     return x.T.dot(y)
+
+
+_MEC_JIT = {}
+
+
+def _min_cone_jit(A, iters):
+    """Badoiu-Clarkson minimum-enclosing-ball centers for a batch of
+    subsets, fused on the XLA CPU backend (pinned off the — possibly
+    tunneled — default device; the arrays are small and host-resident).
+    A: [S, d, m] float32 -> cosine t [S_pad] (padded rows are garbage;
+    caller slices).  S is padded to a power of two to bound compiles."""
+    import jax
+    import jax.numpy as jnp
+
+    S, d, m = A.shape
+    Sp = max(8, 1 << (max(S - 1, 1)).bit_length())
+    if Sp != S:
+        A = np.concatenate(
+            [A, np.broadcast_to(A[:1], (Sp - S, d, m))], axis=0)
+    key = (Sp, d, m, iters)
+    fn = _MEC_JIT.get(key)
+    if fn is None:
+        cpu = jax.local_devices(backend="cpu")[0]
+
+        def run(A):
+            def body(k, c):
+                d2 = jnp.sum((A - c[:, :, None]) ** 2, axis=1)  # [S, m]
+                f = jnp.argmax(d2, axis=1)
+                far = jnp.take_along_axis(
+                    A, f[:, None, None], axis=2)[:, :, 0]
+                return c + (far - c) / (k + 2).astype(jnp.float32)
+
+            c = jax.lax.fori_loop(0, iters, body, A[:, :, 0])
+            nc = jnp.linalg.norm(c, axis=1, keepdims=True)
+            c = jnp.where(nc > 0, c / jnp.maximum(nc, 1e-30), 0.0)
+            return jnp.min(jnp.einsum("sdm,sd->sm", A, c), axis=1)
+
+        fn = jax.jit(run, device=cpu)
+        _MEC_JIT[key] = fn
+    return fn(A)
 
 
 class LovaszTheta(Kernel):
@@ -112,14 +151,14 @@ class LovaszTheta(Kernel):
                 thetas[gi] = float(t[b])
                 slacks[gi] = np.asarray(S[b][:n, :n], np.float64)
 
-        out = []
+        Us = []
         for A, t, S in zip(adjm, thetas, slacks):
             if A.shape[0] == 1:
                 U = np.ones((self.d_, 1))
             else:
                 U = self._labelling(S, t, self.d_)
-            out.append(self._mec_levels(U))
-        return out
+            Us.append(U)
+        return self._mec_levels_batch(Us)
 
     @staticmethod
     def _labelling(S, t, d):
@@ -136,74 +175,73 @@ class LovaszTheta(Kernel):
         C = np.outer(c, np.ones(n))
         return (C + V) / np.sqrt(t)
 
-    def _mec_levels(self, U):
-        n = U.shape[1]
-        samples = distribute_samples(n, self.subsets_size_range,
-                                     self.n_samples)
+    # minimum-enclosing-cone sampling ---------------------------------- #
+    # The reference computes each sampled subset's minimum enclosing cone
+    # with a recursive randomized Welzl minidisk (lovasz_theta.py:380-506,
+    # containment slack `tolerance` = 1e-1) — thousands of deep Python
+    # recursions per dataset, the measured hot spot of the whole kernel
+    # (110 s of 110 s on MUTAG-scale input).  Since the cone axis is the
+    # center of the subset columns' minimum enclosing BALL, all subsets
+    # across all graphs are solved here TOGETHER by a vectorized
+    # Badoiu-Clarkson iteration (c <- c + (farthest - c)/(k+2), the
+    # Frank-Wolfe scheme on the MEB dual): one [S, d, m] numpy program
+    # per subset size instead of S recursions.  _BC_ITERS = 200 leaves
+    # the center far inside the reference's own 1e-1 containment slack,
+    # and the downstream value is a Monte-Carlo mean over samples.
+
+    _BC_ITERS = 400
+
+    def _mec_levels_batch(self, Us):
         lo, hi = self.subsets_size_range
-        phi = np.zeros((hi - lo + 1, 1))
-        for i, level in enumerate(range(lo, hi + 1)):
-            v = samples.get(level)
-            if v is not None:
-                vals = []
+        n_levels = hi - lo + 1
+        G = len(Us)
+        sums = np.zeros((G, n_levels))
+        cnts = np.zeros((G, n_levels), dtype=np.int64)
+        keys, mats = [], []
+        for g, U in enumerate(Us):
+            n = U.shape[1]
+            samples = distribute_samples(n, self.subsets_size_range,
+                                         self.n_samples)
+            for i, level in enumerate(range(lo, hi + 1)):
+                v = samples.get(level)
+                if v is None:
+                    continue
                 for _ in range(v):
                     if level <= n:
                         idx = self.random_state_.choice(n, level,
                                                         replace=False)
                     else:
                         idx = np.arange(n)
-                    vals.append(self._minimum_cone(U[:, idx]))
-                phi[i] = np.mean(vals)
-        return phi
+                    if idx.size < hi:
+                        # pad by repeating the first column — duplicate
+                        # points do not move the enclosing ball, so every
+                        # subset size shares ONE [S, d, hi] batch
+                        idx = np.concatenate(
+                            [idx, np.full(hi - idx.size, idx[0],
+                                          dtype=np.int64)])
+                    keys.append((g, i))
+                    mats.append(U[:, idx])
+        if keys:
+            t = self._min_cone_batch(np.stack(mats).astype(np.float32))
+            gi = np.asarray(keys, dtype=np.int64)
+            np.add.at(sums, (gi[:, 0], gi[:, 1]), t)
+            np.add.at(cnts, (gi[:, 0], gi[:, 1]), 1)
+        phi = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
+        return [phi[g][:, None] for g in range(G)]
 
-    # Welzl minidisk (reference :380-506) ------------------------------ #
-    def _minimum_cone(self, U):
-        n = U.shape[1]
-        P = self.random_state_.permutation(n) - 1
-        c, _ = self._b_minidisk(U, P, np.array([], dtype=int))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            c = c / norm(c, 2)
-        t = float(np.min(np.dot(U.T, c)))
-        if 1.0 < t < 1.0 + angle_precision:
-            t = 1.0
-        elif -1.0 - angle_precision < t < -1.0:
-            t = -1.0
+    @classmethod
+    def _min_cone_batch(cls, A):
+        """Min enclosing cone cosine per subset: A [S, d, m] -> t [S].
+
+        One fused XLA-CPU program (jitted per padded shape): the
+        Badoiu-Clarkson update runs in a fori_loop, so the [S, d, m]
+        temporaries never round-trip through numpy."""
+        S = A.shape[0]
+        t = np.asarray(_min_cone_jit(A, cls._BC_ITERS),
+                       np.float64)[:S]
+        t = np.where((t > 1.0) & (t < 1.0 + angle_precision), 1.0, t)
+        t = np.where((t < -1.0) & (t > -1.0 - angle_precision), -1.0, t)
         return t
-
-    def _b_minidisk(self, A, P, R):
-        d, nP, nR = A.shape[0], P.shape[0], R.shape[0]
-        if nP == 0 or nR == d + 1:
-            if nR == 0:
-                return np.zeros(d), 0
-            return self._fitball(A[:, R])
-        p = P[self.random_state_.randint(0, nP)]
-        P_prime = np.delete(P, np.where(P == p))
-        c, r = self._b_minidisk(A, P_prime, R)
-        if norm(A[:, p] - c, 2) - r > tolerance:
-            if p not in R:
-                R_prime = np.pad(R, [(0, 1)], mode="constant",
-                                 constant_values=p)
-                c, r = self._b_minidisk(A, P_prime, R_prime)
-        return c, r
-
-    @staticmethod
-    def _fitball(A):
-        d, n = A.shape
-        if n == 1:
-            return A[:, 0], 0
-        Q = A - np.outer(A[:, 0], np.ones(n))
-        B = 2 * np.dot(Q.T, Q)
-        b = B.diagonal() / 2
-        try:
-            L = solve(B[1:, :][:, 1:], b[1:])
-        except LinAlgError:
-            L = np.linalg.lstsq(B[1:, :][:, 1:], b[1:], rcond=None)[0]
-        L = np.pad(L, [(1, 0)], mode="constant")
-        C = np.zeros(d)
-        for i in range(1, n):
-            C = C + L[i] * Q[:, i]
-        r = np.sqrt(np.dot(C, C))
-        return C + A[:, 1], r
 
     # ------------------------------------------------------------------ #
     def _feature_matrix(self, parsed):
