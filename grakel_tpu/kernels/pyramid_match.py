@@ -22,6 +22,22 @@ TPU design: embeddings stay on host (iterative ARPACK / LAPACK eig,
 matching the reference's numerics); histogram scatters are vectorized
 numpy; the per-level all-pairs intersections I_p — the O(N^2) cost —
 run as tiled min-intersection Grams on device (ops/intersect.py).
+
+Large label universes (WL-relabeled graphs under the WL-PM framework,
+where generations mint thousands of labels) would make the dense
+[d * num_labels, 2^j] per-graph histograms and their stacked level
+matrices explode (measured: 130x overhead vs plain PM on ENZYMES), so
+past ``_DENSE_MAX_W`` the kernel switches to a SPARSE path: histogram
+entries become unary-expanded 0/1 features ((level, row, cell, t),
+t = 1..count — min(a, b) = sum_t [a>=t][b>=t]), the per-level
+intersections fuse into ONE chunked counts-GEMM because the closed-form
+level combination k = sum_p c_p I_p has all-positive coefficients
+(entries weighted sqrt(c_p)), and the diagonal is the closed form
+n_vertices * dims * sum_p c_p (a graph's self-intersection at every
+level is its total histogram mass).  Transform maps expanded keys
+through the fit enumeration — exact, because a key absent from either
+side has min(a, 0) = 0, which also subsumes the reference's truncation
+to the common feature width.
 """
 
 from __future__ import annotations
@@ -32,6 +48,7 @@ from itertools import chain
 import numpy as np
 
 from .base import Kernel, normalize_input
+from ..ops.gram import coo_counts_gram, coo_counts_gram_rect, fetch_gram
 from ..ops.intersect import min_intersection_gram
 
 __all__ = ["PyramidMatch"]
@@ -61,9 +78,15 @@ class PyramidMatch(Kernel):
         n = A.shape[0]
         if n > self.d + 1:
             from scipy.sparse import csr_matrix
-            from scipy.sparse.linalg import eigs
-            Lambda, U = eigs(csr_matrix(A, dtype=float), k=self.d,
-                             ncv=10 * self.d)
+            from scipy.sparse.linalg import eigs, ArpackError
+            try:
+                Lambda, U = eigs(csr_matrix(A, dtype=float), k=self.d,
+                                 ncv=10 * self.d)
+            except ArpackError:
+                # edgeless / degenerate adjacency (ARPACK -9: zero
+                # starting vector) — the dense solver handles it
+                Lambda, U = np.linalg.eig(A)
+                Lambda, U = Lambda[:self.d], U[:, :self.d]
             idx = Lambda.argsort()[::-1]
             U = U[:, idx]
         else:
@@ -99,8 +122,93 @@ class PyramidMatch(Kernel):
                 labels = dict(chain(
                     self._labels.items(),
                     ((j, i) for i, j in enumerate(rest, len(self._labels)))))
-            return self._histograms(Us, Ls, labels)
-        return self._histograms(Us)
+        else:
+            Ls, labels = None, None
+        num_labels = len(labels) if labels is not None else 1
+        if self._method_calling in (1, 2):
+            self._sparse_mode = (num_labels * self.d * (1 << max(
+                self.L - 1, 0)) > self._DENSE_MAX_W)
+        if self._sparse_mode:
+            return self._sparse_entries(Us, Ls, labels)
+        return self._histograms(Us, Ls, labels)
+
+    # densest-level width past which the sparse unary path takes over
+    _DENSE_MAX_W = 4096
+
+    def _level_coeffs(self):
+        """k = sum_p c_p I_p — closed-form positive level weights
+        (the expansion of :meth:`_combine`; all c_p > 0)."""
+        L = self.L
+        c = np.zeros(max(L, 1))
+        if L == 0:
+            return c
+        c[L - 1] = 1.0
+        for p in range(L - 1):
+            w = 1.0 / 2 ** (L - p - 1)
+            c[p] += w * (L - p)
+            c[p + 1] -= w * (L - p - 1)
+        return c
+
+    def _sparse_entries(self, Us, Ls, labels):
+        """Unary-expanded COO features for the sparse Gram path.
+
+        Returns {"sparse", "n", "gids", "ekeys", "mass"}:
+        per occurrence t = 1..count of histogram cell (level, row, cell),
+        one int64 key (lvl << 60 | row << 30 | cell << 20 | t) — a fixed
+        layout so transform keys map through the fit enumeration."""
+        d = self.d
+        if self.L > 8:
+            # lvl occupies bits 60..62 of the int64 key
+            raise ValueError("sparse PyramidMatch path supports L <= 8")
+        gl, rl, cl, ll = [], [], [], []
+        mass = np.zeros(len(Us))
+        for gi, (n, u) in enumerate(Us):
+            u = u[:n]
+            if n == 0:
+                continue
+            du = u.shape[1]
+            mass[gi] = n * du
+            if Ls is not None:
+                row_lab = np.fromiter(
+                    (labels[Ls[gi][p]] for p in range(n)), np.int64, n)
+                rows = (row_lab[:, None] * d
+                        + np.arange(du)[None, :]).ravel()
+            else:
+                rows = np.broadcast_to(np.arange(du), (n, du)).ravel()
+            for j in range(self.L):
+                k = 1 << j
+                T = np.floor(u * k).astype(np.int64)
+                T[T == k] = k - 1
+                gl.append(np.full(rows.size, gi, np.int64))
+                rl.append(rows)
+                cl.append(T.ravel())
+                ll.append(np.full(rows.size, j, np.int64))
+        if not gl:
+            return {"sparse": True, "n": len(Us),
+                    "gids": np.zeros(0, np.int64),
+                    "ekeys": np.zeros(0, np.int64), "mass": mass}
+        gids = np.concatenate(gl)
+        rows = np.concatenate(rl)
+        cells = np.concatenate(cl)
+        lvls = np.concatenate(ll)
+        if rows.size and (int(rows.max()) >= 1 << 30
+                          or len(Us) >= 1 << 19):
+            raise ValueError("sparse PyramidMatch key space exceeded")
+        # per-(gid, lvl, row, cell) counts -> unary expansion t = 1..c
+        ckey = ((((gids << 4) | lvls) << 30 | rows) << 10) | cells
+        uk, counts = np.unique(ckey, return_counts=True)
+        if counts.size and int(counts.max()) >= 1 << 20:
+            raise ValueError("sparse PyramidMatch count space exceeded")
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        t = (np.arange(int(counts.sum()), dtype=np.int64)
+             - np.repeat(offs, counts) + 1)
+        g_rep = np.repeat(uk >> 44, counts)
+        lvl_rep = np.repeat((uk >> 40) & 0xF, counts)
+        row_rep = np.repeat((uk >> 10) & ((1 << 30) - 1), counts)
+        cell_rep = np.repeat(uk & ((1 << 10) - 1), counts)
+        ekeys = (lvl_rep << 60) | (row_rep << 30) | (cell_rep << 20) | t
+        return {"sparse": True, "n": len(Us), "gids": g_rep,
+                "ekeys": ekeys, "mass": mass}
 
     def _histograms(self, Us, Ls=None, labels=None):
         """Vectorized per-graph per-level cell-count histograms."""
@@ -172,13 +280,51 @@ class PyramidMatch(Kernel):
             k += w * ((L - p) * I[p] - (L - p - 1) * I[p + 1])
         return k
 
+    def _sparse_gram(self, px, py=None):
+        """Fused all-level weighted counts-GEMM (see module docstring)."""
+        sqrt_c = np.sqrt(self._level_coeffs())
+
+        def weights(p):
+            return sqrt_c[(p["ekeys"] >> 60).astype(np.int64)].astype(
+                np.float32) if p["ekeys"].size else np.zeros(0, np.float32)
+
+        if py is None:
+            keys = np.unique(px["ekeys"])
+            eids = np.searchsorted(keys, px["ekeys"])
+            valid = np.ones(eids.shape[0], bool)
+            K = fetch_gram(coo_counts_gram(
+                px["gids"], eids, weights(px), valid, px["n"],
+                max(len(keys), 1)))
+            return np.asarray(K, np.float64)
+        # rect: enumerate over the FIT side; unseen keys drop (exact —
+        # min(a, 0) = 0, and this subsumes the reference's width
+        # truncation)
+        keys = np.unique(px["ekeys"])
+        eids_x = np.searchsorted(keys, px["ekeys"])
+        pos = np.searchsorted(keys, py["ekeys"])
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (keys[pos_c] == py["ekeys"]) if len(keys) else \
+            np.zeros(py["ekeys"].shape[0], bool)
+        valid_x = np.ones(eids_x.shape[0], bool)
+        K = fetch_gram(coo_counts_gram_rect(
+            py["gids"], pos_c, weights(py), hit,
+            px["gids"], eids_x, weights(px), valid_x,
+            py["n"], px["n"], max(len(keys), 1)))
+        return np.asarray(K, np.float64)
+
     def _gram(self, px, py=None):
+        if isinstance(px, dict) and px.get("sparse"):
+            return self._sparse_gram(px, py)
         if py is None:
             py = px
         I = self._intersections(px, py)
         return self._combine(I)
 
     def _diag(self, parsed):
+        if isinstance(parsed, dict) and parsed.get("sparse"):
+            # self-intersection at every level is the full histogram
+            # mass n * dims, so diag = mass * sum_p c_p in closed form
+            return parsed["mass"] * float(self._level_coeffs().sum())
         vals = np.zeros(len(parsed))
         for i, du in enumerate(parsed):
             if len(du) == 0:

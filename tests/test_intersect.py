@@ -61,3 +61,31 @@ def test_jaccard_rounds_symmetric_with_empty():
     exp = (exp + exp.T) / 2
     np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
     assert got[4, 4] == 0.0
+
+
+def test_pyramid_match_sparse_matches_dense():
+    """The unary-expansion sparse PM path (used when WL-PM relabeling
+    mints wide label universes) must equal the dense per-level path."""
+    from grakel_tpu.kernels.pyramid_match import PyramidMatch
+    rng = np.random.RandomState(5)
+    graphs = []
+    for i in range(24):
+        n = rng.randint(4, 14)
+        A = (rng.rand(n, n) < 0.35).astype(float)
+        A = np.triu(A, 1)
+        A = A + A.T
+        nl = {v: int(rng.randint(0, 6)) for v in range(n)}
+        graphs.append([A, nl, {}])
+    for kw in ({}, {"normalize": True}, {"with_labels": False}):
+        kd = PyramidMatch(**kw)
+        Kd = kd.fit_transform(graphs[:16])
+        Td = kd.transform(graphs[16:])
+        ks = PyramidMatch(**kw)
+        ks._DENSE_MAX_W = 0  # force the sparse path
+        assert ks.fit(graphs[:16])._sparse_mode
+        ks2 = PyramidMatch(**kw)
+        ks2._DENSE_MAX_W = 0
+        Ks = ks2.fit_transform(graphs[:16])
+        Ts = ks2.transform(graphs[16:])
+        np.testing.assert_allclose(Kd, Ks, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(Td, Ts, rtol=1e-4, atol=1e-4)
