@@ -45,6 +45,7 @@ from ..batch import bucket_size
 from ..ops.floyd_warshall import batched_floyd_warshall, INF
 from ..ops.wl import host_compact, host_compact_counts, split_singletons
 from ..ops.gram import (coo_counts_gram, coo_counts_gram_rect, counts_diag,
+                        sparse_counts_gram,
                         fetch_gram, normalize_gram)
 
 __all__ = ["ShortestPath", "ShortestPathAttr"]
@@ -172,6 +173,9 @@ class ShortestPath(Kernel):
     # direct-index feature-space cap: L^2 * D label-distance cells
     # (= 64 GEMM chunks of 4096); larger spaces use hash compaction
     _DIRECT_MAX_WIDTH = 1 << 18
+    # repeated-triplet-id count past which the symmetric Gram assembles
+    # on host (sparse_counts_gram) instead of the chunked device GEMM
+    _SPARSE_GRAM_MIN_REP = 1 << 16
 
     def __init__(self, n_jobs=None, normalize=False, verbose=False,
                  algorithm_type="auto", with_labels=True):
@@ -344,10 +348,16 @@ class ShortestPath(Kernel):
             # there is pathological)
             gl, gv, n_rep, dcorr = split_singletons(
                 ids, counts, st["valid"], st["gids"], st["n"])
-            Lw = bucket_size(max(n_rep, 1))
-            ones = np.ones(len(st["gids"]), np.float32)
-            K = fetch_gram(coo_counts_gram(
-                st["gids"], gl, ones, gv, st["n"], Lw))
+            if n_rep > self._SPARSE_GRAM_MIN_REP:
+                # still-wide repeated-id space: the chunked device GEMM
+                # is >99% padding FLOPs — host multiplicity-split
+                # assembly instead (measured: WL-SP/NCI1 generations)
+                K = sparse_counts_gram(st["gids"][gv], gl[gv], st["n"])
+            else:
+                Lw = bucket_size(max(n_rep, 1))
+                ones = np.ones(len(st["gids"]), np.float32)
+                K = fetch_gram(coo_counts_gram(
+                    st["gids"], gl, ones, gv, st["n"], Lw))
             if dcorr.any():
                 if not getattr(K.flags, "writeable", False):
                     K = np.array(K)

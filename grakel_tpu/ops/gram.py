@@ -19,7 +19,7 @@ import jax.numpy as jnp
 __all__ = ["gram_gemm", "gram_rect", "normalize_gram",
            "coo_counts_gram", "coo_counts_gram_rect", "coo_counts_gram_acc",
            "counts_diag", "chunked_counts_gram_raw", "chunk_plan",
-           "fetch_gram", "cpu_gemm"]
+           "fetch_gram", "cpu_gemm", "sparse_counts_gram"]
 
 
 def _as_f32(x):
@@ -302,6 +302,73 @@ def coo_counts_gram_rect(ga, la, wa, va, gb, lb, wb, vb,
         jnp.asarray(gb), jnp.asarray(lb),
         jnp.asarray(wb, dtype=jnp.float32), jnp.asarray(vb),
         int(n_a), int(n_b), nc, chunk)
+
+
+def sparse_counts_gram(gids, labels, n_graphs, weights=None,
+                       dense_col_mult=64):
+    """K[g, g'] = sum_l c[g, l] c[g', l] assembled ON HOST for extremely
+    sparse, very wide count matrices (late WL-SP generations mint
+    millions of mostly-singleton triplet columns; the chunked device
+    GEMM there is >99.9% wasted FLOPs and minutes of MXU time).
+
+    The multiplicity-split scheme (same as NSPD's Gram,
+    kernels/nspd.py fit_transform): after one label-major sort,
+
+    * columns touching <= ``dense_col_mult`` graphs contribute their
+      in-column pair products through ONE global bincount scatter
+      (cost = sum over those columns of nnz_col^2);
+    * denser columns gather into a single [n, n_hot] dense block
+      multiplied on the XLA-CPU backend (:func:`cpu_gemm`).
+
+    ``gids``/``labels`` are per-item arrays; duplicates are allowed and
+    their weights (default 1) sum.  Returns float64 [n, n]."""
+    gids = np.asarray(gids, np.int64)
+    labels = np.asarray(labels, np.int64)
+    n = int(n_graphs)
+    K = np.zeros((n, n))
+    if gids.size == 0:
+        return K
+    w = (np.ones(gids.size) if weights is None
+         else np.asarray(weights, np.float64))
+    key = labels * n + gids
+    uk, inv = np.unique(key, return_inverse=True)
+    cw = np.bincount(inv, weights=w)
+    cols = uk // n
+    rows = uk % n
+    starts = np.flatnonzero(np.r_[True, cols[1:] != cols[:-1]])
+    sizes = np.diff(np.r_[starts, len(cols)])
+    singles = sizes == 1
+    if singles.any():
+        r1 = rows[starts[singles]]
+        np.add.at(K, (r1, r1), cw[starts[singles]] ** 2)
+    pair_idx, pair_w = [], []
+    for s in np.unique(sizes):
+        if s < 2 or s > dense_col_mult:
+            continue
+        gs = starts[sizes == s]
+        idx = gs[:, None] + np.arange(s)
+        R = rows[idx]
+        W = cw[idx]
+        flat = (R[:, :, None] * n + R[:, None, :]).ravel()
+        pw = (W[:, :, None] * W[:, None, :]).ravel()
+        if flat.size > 20_000_000:   # scatter big groups immediately
+            K += np.bincount(flat, weights=pw,
+                             minlength=n * n).reshape(n, n)
+        else:
+            pair_idx.append(flat)
+            pair_w.append(pw)
+    if pair_idx:
+        K += np.bincount(np.concatenate(pair_idx),
+                         weights=np.concatenate(pair_w),
+                         minlength=n * n).reshape(n, n)
+    hot = sizes > dense_col_mult
+    if hot.any():
+        ent = np.repeat(hot, sizes)
+        gcol = np.cumsum(hot) - 1
+        D = np.zeros((n, int(hot.sum())), np.float32)
+        D[rows[ent], np.repeat(gcol[hot], sizes[hot])] = cw[ent]
+        K += cpu_gemm(D).astype(np.float64)
+    return K
 
 
 def counts_diag(gids, labels, weights, valid, n_graphs, n_labels,
