@@ -77,9 +77,12 @@ def _min_cone_jit(A, iters):
             c = jnp.where(nc > 0, c / jnp.maximum(nc, 1e-30), 0.0)
             return jnp.min(jnp.einsum("sdm,sd->sm", A, c), axis=1)
 
-        fn = jax.jit(run, device=cpu)
+        # committed CPU input pins the jit to the CPU backend (jit's
+        # `device=` argument is deprecated)
+        fn = (jax.jit(run), cpu)
         _MEC_JIT[key] = fn
-    return fn(A)
+    jit_fn, cpu = fn
+    return jit_fn(jax.device_put(A, cpu))
 
 
 class LovaszTheta(Kernel):
@@ -185,11 +188,18 @@ class LovaszTheta(Kernel):
     # across all graphs are solved here TOGETHER by a vectorized
     # Badoiu-Clarkson iteration (c <- c + (farthest - c)/(k+2), the
     # Frank-Wolfe scheme on the MEB dual): one [S, d, m] numpy program
-    # per subset size instead of S recursions.  _BC_ITERS = 200 leaves
+    # per subset size instead of S recursions.  _BC_ITERS = 400 leaves
     # the center far inside the reference's own 1e-1 containment slack,
     # and the downstream value is a Monte-Carlo mean over samples.
 
     _BC_ITERS = 400
+
+    # Subsets are solved in fixed-size slices so peak memory stays
+    # bounded independent of dataset size: each slice materializes at
+    # most _MEC_CHUNK [d, hi] float32 panels (~_MEC_CHUNK*d*hi*4 bytes;
+    # 4096*3000*8*4 = 390 MB at REDDIT-scale d) instead of one
+    # dataset-wide [S, d, hi] stack.
+    _MEC_CHUNK = 4096
 
     def _mec_levels_batch(self, Us):
         lo, hi = self.subsets_size_range
@@ -198,6 +208,17 @@ class LovaszTheta(Kernel):
         sums = np.zeros((G, n_levels))
         cnts = np.zeros((G, n_levels), dtype=np.int64)
         keys, mats = [], []
+
+        def flush():
+            if not keys:
+                return
+            t = self._min_cone_batch(np.stack(mats).astype(np.float32))
+            gi = np.asarray(keys, dtype=np.int64)
+            np.add.at(sums, (gi[:, 0], gi[:, 1]), t)
+            np.add.at(cnts, (gi[:, 0], gi[:, 1]), 1)
+            keys.clear()
+            mats.clear()
+
         for g, U in enumerate(Us):
             n = U.shape[1]
             samples = distribute_samples(n, self.subsets_size_range,
@@ -220,12 +241,10 @@ class LovaszTheta(Kernel):
                             [idx, np.full(hi - idx.size, idx[0],
                                           dtype=np.int64)])
                     keys.append((g, i))
-                    mats.append(U[:, idx])
-        if keys:
-            t = self._min_cone_batch(np.stack(mats).astype(np.float32))
-            gi = np.asarray(keys, dtype=np.int64)
-            np.add.at(sums, (gi[:, 0], gi[:, 1]), t)
-            np.add.at(cnts, (gi[:, 0], gi[:, 1]), 1)
+                    mats.append(np.asarray(U[:, idx], np.float32))
+                    if len(keys) >= self._MEC_CHUNK:
+                        flush()
+        flush()
         phi = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
         return [phi[g][:, None] for g in range(G)]
 

@@ -99,12 +99,14 @@ def cpu_gemm(a, b=None):
         # local_devices: under jax.distributed, jax.devices() is the
         # GLOBAL list and device 0 may belong to another process
         cpu = jax.local_devices(backend="cpu")[0]
+        # placement comes from device_put below (committed inputs pin the
+        # computation); jit's `device=` argument is deprecated
         if b is None:
             base = jax.jit(lambda x: jnp.dot(
-                x, x.T, preferred_element_type=jnp.float32), device=cpu)
+                x, x.T, preferred_element_type=jnp.float32))
         else:
             base = jax.jit(lambda x, y: jnp.dot(
-                x, y.T, preferred_element_type=jnp.float32), device=cpu)
+                x, y.T, preferred_element_type=jnp.float32))
         _CPU_GEMM[key] = fn = (base, cpu)
     base, cpu = fn
     if b is None:
@@ -341,7 +343,7 @@ def sparse_counts_gram(gids, labels, n_graphs, weights=None,
     if singles.any():
         r1 = rows[starts[singles]]
         np.add.at(K, (r1, r1), cw[starts[singles]] ** 2)
-    pair_idx, pair_w = [], []
+    pair_idx, pair_w, pending = [], [], 0
     for s in np.unique(sizes):
         if s < 2 or s > dense_col_mult:
             continue
@@ -351,12 +353,14 @@ def sparse_counts_gram(gids, labels, n_graphs, weights=None,
         W = cw[idx]
         flat = (R[:, :, None] * n + R[:, None, :]).ravel()
         pw = (W[:, :, None] * W[:, None, :]).ravel()
-        if flat.size > 20_000_000:   # scatter big groups immediately
-            K += np.bincount(flat, weights=pw,
+        pair_idx.append(flat)
+        pair_w.append(pw)
+        pending += flat.size
+        if pending > 20_000_000:   # bound temporaries ACROSS groups
+            K += np.bincount(np.concatenate(pair_idx),
+                             weights=np.concatenate(pair_w),
                              minlength=n * n).reshape(n, n)
-        else:
-            pair_idx.append(flat)
-            pair_w.append(pw)
+            pair_idx, pair_w, pending = [], [], 0
     if pair_idx:
         K += np.bincount(np.concatenate(pair_idx),
                          weights=np.concatenate(pair_w),

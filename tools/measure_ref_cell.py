@@ -93,6 +93,10 @@ def main():
             break
     merged[args.cell] = {"seconds": round(min(times), 3),
                          "repeats": len(times)}
+    if min(times) > args.budget:
+        # finished, but past budget — flag so downstream tables can mark
+        # the cell instead of silently trusting a success record
+        merged[args.cell]["over_budget"] = True
     with open(OUT, "w") as f:
         json.dump(merged, f, indent=1)
     print(json.dumps({args.cell: merged[args.cell]}))
