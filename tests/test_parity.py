@@ -328,15 +328,34 @@ class TestCoreFramework:
 
 
 class TestSvmTheta:
+    # The default path solves the one-class dual with the batched device
+    # QP (ops/svm_qp.py), which is MORE accurate than the reference's
+    # libsvm fit (objective never worse; libsvm stops at a 1e-3 KKT
+    # tolerance — see test_common.test_svm_qp_matches_libsvm).  The Gram
+    # therefore matches the reference only up to libsvm's own solver
+    # error: measured max rel 5.8e-4 on MUTAG, asserted at 2e-3.
     def test_gram(self, mutag_small):
         fit, tr = mutag_small
-        check_pair("SvmTheta", fit, tr, random_state=17, rtol=1e-4,
-                   atol=1e-6)
+        check_pair("SvmTheta", fit, tr, random_state=17, rtol=2e-3,
+                   atol=1e-4)
 
     def test_normalized(self, mutag_small):
         fit, tr = mutag_small
         check_pair("SvmTheta", fit, tr, random_state=17, normalize=True,
-                   rtol=1e-4, atol=1e-6)
+                   rtol=2e-3, atol=1e-4)
+
+    def test_pipeline_exact_with_libsvm_alphas(self, mutag_small,
+                                               monkeypatch):
+        # With the reference's own libsvm alphas injected, everything
+        # downstream (sampling, levels, metric, Gram assembly) is
+        # parity-exact at the tight tolerance.
+        from grakel_tpu.kernels import svm_theta as st
+        monkeypatch.setattr(
+            st.SvmTheta, "_alphas_batch",
+            staticmethod(lambda adjm: [st._svm_alphas(A) for A in adjm]))
+        fit, tr = mutag_small
+        check_pair("SvmTheta", fit, tr, random_state=17, rtol=1e-4,
+                   atol=1e-6)
 
 
 class TestGraphHopper:
