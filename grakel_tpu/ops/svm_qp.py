@@ -12,28 +12,29 @@ reference runs a dense float64 ``eigvalsh`` plus a libsvm SMO solve per
 graph — tens of milliseconds each, the measured ~100 % of SvmTheta's
 wall time at REDDIT scale.
 
-Here the WHOLE dataset is one device program over the flattened vertex
-vector (no per-graph dispatch, no size buckets):
+Design (all compute per size-bucket SLAB, one device program each):
 
-* adjacency matvecs are COO gathers + a sorted ``segment_sum`` — the
-  batch is a single edge list, so graph size variance costs nothing;
+* graphs bucket by padded size V, slabs capped so [S, V, V] stays under
+  ~1 GB; the slab adjacency densifies ON DEVICE from one COO scatter
+  (the only scatter in the whole path — measured on the v5e, per-element
+  scatter/segment ops run ~30x slower than dense batched reductions, so
+  the iteration loops below touch only dense [S, V] math on the MXU);
 * per-graph extremal eigenvalues come from a batched Lanczos iteration
-  (no reorthogonalization: only the spectrum ENDS are read, and ghost
-  Ritz values duplicate converged extremes without moving them), with
-  the [B, m, m] tridiagonal eigenproblem solved by one batched
-  ``eigvalsh``;
-* the QP is solved by FISTA with an exact per-graph projection onto
-  {0 <= a <= 1, sum a = s} (bisection on the simplex shift, all graphs
-  at once), warm-started at libsvm's own initial point (a_i = 1 for the
-  first floor(nu*n) vertices, the fractional remainder next) so the
-  zero-matrix degenerate case — where ANY feasible point is optimal and
-  libsvm returns its initializer untouched — matches by construction.
+  (m = 64, no reorthogonalization: only the spectrum ENDS are read, and
+  ghost Ritz values duplicate converged extremes without moving them),
+  with the [S, m, m] tridiagonal eigenproblem one batched ``eigvalsh``;
+* the QP is solved by FISTA — batched GEMV gradient + exact per-graph
+  projection onto {0 <= a <= 1, sum a = s} (bisection on the simplex
+  shift, dense axis-1 reductions) — warm-started at libsvm's own
+  initial point a_i = clip(nu*n - i, 0, 1), so the zero-matrix
+  degenerate case (where ANY feasible point is optimal and libsvm
+  returns its initializer untouched) matches by construction.
 
-The fixed 800 FISTA iterations converge to ~1e-11 in float64 prototype
+The fixed 300 FISTA iterations converge to ~1e-7 in float64 prototype
 runs on 430-vertex REDDIT-scale graphs (the float32 device path floors
-at ~1e-6); libsvm itself stops at a 1e-3 KKT tolerance, so this path is
-*more* accurate than the reference, differing from it by libsvm's own
-solver error (~2e-3 in a).  tests/test_common.py
+near 1e-6); libsvm itself stops at a 1e-3 KKT tolerance, so this path
+is *more* accurate than the reference, differing from it by libsvm's
+own solver error (~2e-3 in a).  tests/test_common.py
 (test_svm_qp_matches_libsvm) pins the agreement and checks our
 objective never exceeds libsvm's.
 """
@@ -48,10 +49,11 @@ import jax.numpy as jnp
 __all__ = ["one_class_alphas"]
 
 _LANCZOS_M = 64
-_FISTA_ITERS = 800
+_FISTA_ITERS = 300
 _BISECT_ITERS = 30
 _MIN_WEIGHT = 1e-10
 _EIG_TOL = 1e-6
+_SLAB_BYTES = 1 << 30
 
 _SOLVE_JIT = {}
 
@@ -60,43 +62,41 @@ def _pow2(x):
     return max(8, 1 << (max(int(x) - 1, 1)).bit_length())
 
 
-def _build_solver(N_pad, E_pad, B_pad, m, fista_iters):
-    def matvec(x, src, dst):
-        return jax.ops.segment_sum(x[src], dst, num_segments=N_pad,
-                                   indices_are_sorted=True)
+def _build_solver(S, V, m, fista_iters):
+    def solve(eflat, ew, u, a0, s_target):
+        # ---- densify the slab adjacency (the one scatter) ------------- #
+        K = jnp.zeros((S * V * V,), jnp.float32).at[eflat].add(ew)
+        K = K.reshape(S, V, V)
 
-    def seg(vals, gid):
-        return jax.ops.segment_sum(vals, gid, num_segments=B_pad,
-                                   indices_are_sorted=True)
+        def mv(x):  # batched GEMV on the MXU
+            return jnp.einsum("svw,sw->sv", K, x,
+                              preferred_element_type=jnp.float32)
 
-    def solve(src, dst, gid, u, a0, s_target):
         # ---- batched Lanczos for per-graph (lambda_min, lambda_max) --- #
-        idx = jnp.arange(N_pad, dtype=jnp.float32)
-        v0 = jnp.cos(1.372954 * idx + 0.718281 * gid.astype(jnp.float32))
-        v0 = v0 * u  # zero padded lanes
-        nrm = jnp.sqrt(seg(v0 * v0, gid))
-        v0 = v0 * jnp.where(nrm > 0, 1.0 / jnp.maximum(nrm, 1e-30), 0.0)[gid]
+        i_v = jnp.arange(V, dtype=jnp.float32)[None, :]
+        g_v = jnp.arange(S, dtype=jnp.float32)[:, None]
+        v0 = jnp.cos(1.372954 * i_v + 0.718281 * g_v) * u
+        nrm = jnp.sqrt(jnp.sum(v0 * v0, axis=1, keepdims=True))
+        v0 = v0 * jnp.where(nrm > 0, 1.0 / jnp.maximum(nrm, 1e-30), 0.0)
 
         def lstep(j, carry):
             v_prev, v_cur, beta_prev, al, be = carry
-            w = matvec(v_cur, src, dst)
-            aj = seg(v_cur * w, gid)
-            w = w - aj[gid] * v_cur - beta_prev[gid] * v_prev
-            bj = jnp.sqrt(seg(w * w, gid))
+            w = mv(v_cur)
+            aj = jnp.sum(v_cur * w, axis=1)
+            w = w - aj[:, None] * v_cur - beta_prev[:, None] * v_prev
+            bj = jnp.sqrt(jnp.sum(w * w, axis=1))
             invb = jnp.where(bj > 1e-6, 1.0 / jnp.maximum(bj, 1e-30), 0.0)
-            v_next = w * invb[gid]
+            v_next = w * invb[:, None]
             bj = jnp.where(bj > 1e-6, bj, 0.0)
-            al = al.at[:, j].set(aj)
-            be = be.at[:, j].set(bj)
-            return v_cur, v_next, bj, al, be
+            return v_cur, v_next, bj, al.at[:, j].set(aj), be.at[:, j].set(bj)
 
-        al = jnp.zeros((B_pad, m), jnp.float32)
-        be = jnp.zeros((B_pad, m), jnp.float32)
+        al = jnp.zeros((S, m), jnp.float32)
+        be = jnp.zeros((S, m), jnp.float32)
         _, _, _, al, be = jax.lax.fori_loop(
-            0, m, lstep, (jnp.zeros(N_pad, jnp.float32), v0,
-                          jnp.zeros(B_pad, jnp.float32), al, be))
+            0, m, lstep, (jnp.zeros((S, V), jnp.float32), v0,
+                          jnp.zeros(S, jnp.float32), al, be))
         r = jnp.arange(m)
-        T = jnp.zeros((B_pad, m, m), jnp.float32)
+        T = jnp.zeros((S, m, m), jnp.float32)
         T = T.at[:, r, r].set(al)
         T = T.at[:, r[:-1], r[1:]].set(be[:, :m - 1])
         T = T.at[:, r[1:], r[:-1]].set(be[:, :m - 1])
@@ -112,35 +112,32 @@ def _build_solver(N_pad, E_pad, B_pad, m, fista_iters):
         L = 1.05 * scale * jnp.maximum(lmax, 0.0) + dadd + 1e-3
 
         def Kx(x):
-            return scale[gid] * matvec(x, src, dst) + dadd[gid] * x
+            return scale[:, None] * mv(x) + dadd[:, None] * x
 
         def project(v):
-            # per-graph projection onto {0 <= a <= u, sum a = s_target}
-            lo = jax.ops.segment_min(v, gid, num_segments=B_pad,
-                                     indices_are_sorted=True) - 1.0
-            hi = jax.ops.segment_max(v, gid, num_segments=B_pad,
-                                     indices_are_sorted=True)
+            lo = jnp.min(v, axis=1) - 1.0
+            hi = jnp.max(v, axis=1)
 
             def bstep(_, lh):
                 lo, hi = lh
                 mid = 0.5 * (lo + hi)
-                tot = seg(jnp.clip(v - mid[gid], 0.0, u), gid)
+                tot = jnp.sum(jnp.clip(v - mid[:, None], 0.0, u), axis=1)
                 over = tot > s_target
                 return jnp.where(over, mid, lo), jnp.where(over, hi, mid)
 
             lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, bstep, (lo, hi))
-            return jnp.clip(v - (0.5 * (lo + hi))[gid], 0.0, u)
+            return jnp.clip(v - (0.5 * (lo + hi))[:, None], 0.0, u)
 
         def fstep(_, carry):
             a, y, t = carry
-            an = project(y - Kx(y) / L[gid])
+            an = project(y - Kx(y) / L[:, None])
             tn = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
             yn = an + ((t - 1.0) / tn) * (an - a)
             return an, yn, tn
 
         a, _, _ = jax.lax.fori_loop(
             0, fista_iters, fstep, (a0, a0, jnp.float32(1.0)))
-        return a, lmin
+        return a
 
     return jax.jit(solve)
 
@@ -153,47 +150,53 @@ def one_class_alphas(adjm, nu=0.5, fista_iters=_FISTA_ITERS):
     Returns a list of per-graph float alpha vectors in libsvm's scaling
     (0 <= a_i <= 1, sum = nu * n).
     """
-    ns = [int(A.shape[0]) for A in adjm]
-    B = len(adjm)
-    N = int(np.sum(ns))
-    offs = np.concatenate([[0], np.cumsum(ns)])
-    srcs, dsts = [], []
-    for g, A in enumerate(adjm):
-        i, j = np.nonzero(np.asarray(A) > _MIN_WEIGHT)
-        keep = i != j
-        srcs.append((i[keep] + offs[g]).astype(np.int32))
-        dsts.append((j[keep] + offs[g]).astype(np.int32))
-    src = np.concatenate(srcs) if srcs else np.zeros(0, np.int32)
-    dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int32)
-    o = np.argsort(dst, kind="stable")
-    src, dst = src[o], dst[o]
+    out = [None] * len(adjm)
+    buckets = {}
+    for gi, A in enumerate(adjm):
+        V = _pow2(A.shape[0])
+        buckets.setdefault(V, []).append(gi)
+    for V, idxs in sorted(buckets.items()):
+        s_cap = int(max(8, min(256, _SLAB_BYTES // (V * V * 4))))
+        for s0 in range(0, len(idxs), s_cap):
+            slab = idxs[s0:s0 + s_cap]
+            S = len(slab)
+            S_pad = _pow2(S)
+            eflats, ews = [], []
+            u = np.zeros((S_pad, V), np.float32)
+            s_target = np.zeros(S_pad, np.float32)
+            ns = np.zeros(S_pad, np.float32)
+            for g, gi in enumerate(slab):
+                A = np.asarray(adjm[gi])
+                n = A.shape[0]
+                i, j = np.nonzero(A > _MIN_WEIGHT)
+                keep = i != j
+                eflats.append((g * V * V + i[keep] * V
+                               + j[keep]).astype(np.int64))
+                ews.append(np.ones(int(keep.sum()), np.float32))
+                u[g, :n] = 1.0
+                s_target[g] = nu * n
+                ns[g] = n
+            eflat = (np.concatenate(eflats) if eflats
+                     else np.zeros(0, np.int64))
+            ew = np.concatenate(ews) if ews else np.zeros(0, np.float32)
+            E_pad = _pow2(max(eflat.size, 1))
+            eflat = np.pad(eflat, (0, E_pad - eflat.size))
+            ew = np.pad(ew, (0, E_pad - ew.size))  # zero-weight pads
+            # libsvm's one-class initial point (svm.cpp
+            # solve_one_class): first floor(nu*n) alphas at the upper
+            # bound, the fractional remainder next, zero elsewhere —
+            # exactly clip(nu*n - i, 0, 1)
+            a0 = np.clip(s_target[:, None] - np.arange(V)[None, :],
+                         0.0, 1.0).astype(np.float32) * u
 
-    N_pad, E_pad, B_pad = _pow2(N + 1), _pow2(max(src.size, 1)), B + 1
-    src = np.pad(src, (0, E_pad - src.size), constant_values=N)
-    dst = np.pad(dst, (0, E_pad - dst.size), constant_values=N)
-    gid = np.full(N_pad, B, np.int32)
-    gid[:N] = np.repeat(np.arange(B, dtype=np.int32), ns)
-    u = np.zeros(N_pad, np.float32)
-    u[:N] = 1.0
-    # libsvm's one-class initial point (svm.cpp solve_one_class): the
-    # first floor(nu*n) alphas at the upper bound, the fractional
-    # remainder on the next vertex, zero elsewhere
-    a0 = np.zeros(N_pad, np.float32)
-    for g, n in enumerate(ns):
-        nl = nu * n
-        w = int(nl)
-        a0[offs[g]:offs[g] + w] = 1.0
-        if w < n:
-            a0[offs[g] + w] = nl - w
-    s_target = np.zeros(B_pad, np.float32)
-    s_target[:B] = nu * np.asarray(ns, np.float32)
-
-    key = (N_pad, E_pad, B_pad, _LANCZOS_M, fista_iters)
-    fn = _SOLVE_JIT.get(key)
-    if fn is None:
-        fn = _build_solver(N_pad, E_pad, B_pad, _LANCZOS_M, fista_iters)
-        _SOLVE_JIT[key] = fn
-    a, _ = fn(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(gid),
-              jnp.asarray(u), jnp.asarray(a0), jnp.asarray(s_target))
-    a = np.asarray(a, np.float64)
-    return [a[offs[g]:offs[g] + n] for g, n in enumerate(ns)]
+            key = (S_pad, V, _LANCZOS_M, E_pad, fista_iters)
+            fn = _SOLVE_JIT.get(key)
+            if fn is None:
+                fn = _build_solver(S_pad, V, _LANCZOS_M, fista_iters)
+                _SOLVE_JIT[key] = fn
+            a = np.asarray(fn(jnp.asarray(eflat), jnp.asarray(ew),
+                              jnp.asarray(u), jnp.asarray(a0),
+                              jnp.asarray(s_target)), np.float64)
+            for g, gi in enumerate(slab):
+                out[gi] = a[g, :adjm[gi].shape[0]]
+    return out

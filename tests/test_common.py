@@ -251,3 +251,39 @@ def test_svm_qp_matches_libsvm():
         assert abs(a.sum() - 0.5 * n) < 1e-4 * max(n, 1)
         # optimality: never worse than libsvm (float32 path slack)
         assert 0.5 * a @ K @ a <= 0.5 * r @ K @ r + 1e-5
+
+
+def test_pm_device_embeddings_match_scipy():
+    """Slab-batched device eigh embeddings (ops/spectral.py) agree with
+    the per-graph ARPACK path on non-degenerate graphs, and the full
+    PyramidMatch Gram routed through the device path matches the scipy
+    path."""
+    import numpy as np
+    from grakel_tpu.kernels.pyramid_match import PyramidMatch
+    from grakel_tpu.ops.spectral import batched_topd_abs_eigvecs
+    rng = np.random.RandomState(5)
+    adjm, graphs = [], []
+    for i in range(6):
+        n = rng.randint(130, 200)
+        A = (rng.rand(n, n) < 0.05).astype(float)
+        A = np.triu(A, 1)
+        A = A + A.T
+        adjm.append(A)
+        graphs.append([A, {v: v % 3 for v in range(n)}, {}])
+    pm = PyramidMatch()
+    pm.initialize()
+    dev = batched_topd_abs_eigvecs(list(enumerate(adjm)), pm.d)
+    for i, A in enumerate(adjm):
+        ref = pm._embed(A)
+        assert dev[i].shape == ref.shape
+        np.testing.assert_allclose(dev[i], ref, atol=2e-4,
+                                   err_msg=f"graph {i}")
+    # end-to-end: device-path Gram == forced-scipy-path Gram
+    K_dev = PyramidMatch().fit_transform(graphs)
+    old = PyramidMatch._DEVICE_EMBED_MIN_N
+    try:
+        PyramidMatch._DEVICE_EMBED_MIN_N = 10**9
+        K_host = PyramidMatch().fit_transform(graphs)
+    finally:
+        PyramidMatch._DEVICE_EMBED_MIN_N = old
+    np.testing.assert_allclose(K_dev, K_host, rtol=1e-6, atol=1e-8)
