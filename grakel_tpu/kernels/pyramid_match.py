@@ -104,20 +104,31 @@ class PyramidMatch(Kernel):
 
     def parse_input(self, X):
         graphs = normalize_input(X)
-        adjs = [g.get_adjacency_matrix() for g in graphs]
-        big = [(i, A) for i, A in enumerate(adjs)
-               if A.shape[0] >= self._DEVICE_EMBED_MIN_N]
+        # embeddings are STRUCTURE-only (|top-d adjacency eigenvectors|),
+        # so they live in the graph's structural cache — shared across
+        # WL/CoreFramework generations, which relabel but keep structure
+        # (the WL-PM profile showed 6x redundant ARPACK without this)
+        ck = f"pm_embed_{self.d}"
+        adjs = [None] * len(graphs)
+        todo = []
+        for i, g in enumerate(graphs):
+            if ck not in g._cache:
+                adjs[i] = g.get_adjacency_matrix()
+                todo.append(i)
+        big = [(i, adjs[i]) for i in todo
+               if adjs[i].shape[0] >= self._DEVICE_EMBED_MIN_N]
         dev_U = {}
         if big:
             from ..ops.spectral import batched_topd_abs_eigvecs
             dev_U = batched_topd_abs_eigvecs(big, self.d)
         Us, Ls = [], []
         for i, g in enumerate(graphs):
-            A = adjs[i]
-            U = dev_U.get(i)
-            if U is None:
-                U = self._embed(A)
-            Us.append((g.n, U))
+            if ck not in g._cache:
+                U = dev_U.get(i)
+                if U is None:
+                    U = self._embed(adjs[i])
+                g._cache[ck] = U
+            Us.append((g.n, g._cache[ck]))
             if self.with_labels:
                 labs = g.get_labels(label_type="vertex", return_none=True)
                 if labs is None:
