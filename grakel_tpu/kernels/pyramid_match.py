@@ -109,14 +109,12 @@ class PyramidMatch(Kernel):
         # WL/CoreFramework generations, which relabel but keep structure
         # (the WL-PM profile showed 6x redundant ARPACK without this)
         ck = f"pm_embed_{self.d}"
-        adjs = [None] * len(graphs)
-        todo = []
+        big = []
         for i, g in enumerate(graphs):
-            if ck not in g._cache:
-                adjs[i] = g.get_adjacency_matrix()
-                todo.append(i)
-        big = [(i, adjs[i]) for i in todo
-               if adjs[i].shape[0] >= self._DEVICE_EMBED_MIN_N]
+            if ck not in g._cache and g.n >= self._DEVICE_EMBED_MIN_N:
+                # feed the graph's lazy COO straight to the device path
+                # — no dense [n, n] materialization on host
+                big.append((i, g.n, g.senders, g.receivers, g.weights))
         dev_U = {}
         if big:
             from ..ops.spectral import batched_topd_abs_eigvecs
@@ -126,7 +124,7 @@ class PyramidMatch(Kernel):
             if ck not in g._cache:
                 U = dev_U.get(i)
                 if U is None:
-                    U = self._embed(adjs[i])
+                    U = self._embed(g.get_adjacency_matrix())
                 g._cache[ck] = U
             Us.append((g.n, g._cache[ck]))
             if self.with_labels:
@@ -239,29 +237,43 @@ class PyramidMatch(Kernel):
                 "ekeys": ekeys, "mass": mass}
 
     def _histograms(self, Us, Ls=None, labels=None):
-        """Vectorized per-graph per-level cell-count histograms."""
+        """Per-graph per-level cell-count histograms, scattered for ALL
+        graphs at once (one ``np.add.at`` per level instead of one per
+        (graph, level) — the per-call overhead dominated REDDIT-scale
+        parse)."""
         num_labels = len(labels) if labels is not None else 1
-        Hs = []
+        G = len(Us)
+        vals, gid_l, row_l = [], [], []
         for gi, (n, u) in enumerate(Us):
             u = u[:n]
+            if n == 0 or u.size == 0:
+                continue
+            du = u.shape[1]
+            dims = np.broadcast_to(np.arange(du), (n, du))
             if Ls is not None:
-                row_lab = np.array([labels[Ls[gi][p]] for p in range(n)],
-                                   np.int64)
-            du = []
-            for j in range(self.L):
-                k = 2 ** j
-                T = np.floor(u * k).astype(np.int64)
+                row_lab = np.fromiter(
+                    (labels[Ls[gi][p]] for p in range(n)), np.int64, n)
+                rows = row_lab[:, None] * self.d + dims
+            else:
+                rows = dims
+            vals.append(u.ravel())
+            row_l.append(rows.ravel())
+            gid_l.append(np.full(n * du, gi, np.int64))
+        R = self.d * num_labels
+        levels = []
+        if vals:
+            v = np.concatenate(vals)
+            rr = np.concatenate(row_l)
+            gg = np.concatenate(gid_l)
+        for j in range(self.L):
+            k = 2 ** j
+            D = np.zeros((G, R, k))
+            if vals:
+                T = np.floor(v * k).astype(np.int64)
                 T[T == k] = k - 1
-                D = np.zeros((self.d * num_labels, k))
-                dims = np.broadcast_to(np.arange(u.shape[1]), T.shape)
-                if Ls is not None:
-                    rows = row_lab[:, None] * self.d + dims
-                else:
-                    rows = dims
-                np.add.at(D, (rows.ravel(), T.ravel()), 1)
-                du.append(D)
-            Hs.append(du)
-        return Hs
+                np.add.at(D, (gg, rr, T), 1)
+            levels.append(D)
+        return [[levels[j][gi] for j in range(self.L)] for gi in range(G)]
 
     # ------------------------------------------------------------------ #
     def _level_matrix(self, parsed, level, width):
@@ -345,8 +357,47 @@ class PyramidMatch(Kernel):
             return self._sparse_gram(px, py)
         if py is None:
             py = px
+        K = self._combined_gram(px, py)
+        if K is not None:
+            return K
         I = self._intersections(px, py)
         return self._combine(I)
+
+    def _combined_gram(self, px, py):
+        """Dense-path Gram with the level combination fused ON DEVICE.
+
+        k = sum_p c_p I_p has dyadic-rational c_p; scaling by 2^(L-1)
+        makes every weight an exact integer, so the combined matrix is
+        integer-valued and fetches as compressed byte planes (ONE D2H
+        instead of L full f32 Grams — the fetches were half the
+        REDDIT-B Gram stage).  Returns None when a level's counts
+        exceed the threshold-GEMM range (caller falls back to the
+        per-level path)."""
+        import jax.numpy as jnp
+        from ..ops.intersect import _min_gram_gemm, _GEMM_MAX_T
+        if self.L == 0:
+            return np.zeros((len(py), len(px)))
+        cs = self._level_coeffs()
+        scale = float(2 ** max(self.L - 1, 0))
+        Kacc = None
+        for j in range(self.L):
+            wx = next((d[j].size for d in px if len(d)), 0)
+            wy = next((d[j].size for d in py if len(d)), 0)
+            w = min(wx, wy) if (wx and wy) else 0
+            cj = float(round(cs[j] * scale))
+            if w == 0 or cj == 0.0:
+                continue
+            A = self._level_matrix(py, j, w)
+            B = self._level_matrix(px, j, w)
+            mx = max(float(A.max(initial=0.0)), float(B.max(initial=0.0)))
+            if mx > _GEMM_MAX_T:
+                return None
+            T = max(1, 1 << (max(int(mx), 1) - 1).bit_length())
+            Kj = _min_gram_gemm(jnp.asarray(A), jnp.asarray(B), T)
+            Kacc = cj * Kj if Kacc is None else Kacc + cj * Kj
+        if Kacc is None:
+            return np.zeros((len(py), len(px)))
+        return np.asarray(fetch_gram(Kacc), np.float64) / scale
 
     def _diag(self, parsed):
         if isinstance(parsed, dict) and parsed.get("sparse"):

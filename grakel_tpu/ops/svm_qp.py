@@ -62,12 +62,23 @@ def _pow2(x):
     return max(8, 1 << (max(int(x) - 1, 1)).bit_length())
 
 
-def _build_solver(S, V, m, fista_iters):
-    def solve(eflat, ew, u, a0, s_target):
-        # ---- densify the slab adjacency (the one scatter) ------------- #
-        K = jnp.zeros((S * V * V,), jnp.float32).at[eflat].add(ew)
-        K = K.reshape(S, V, V)
+# the scatter-densify is its own (trivially compiled) jit because its
+# shape key includes the per-slab edge count; the heavy solver below is
+# keyed only by (S, V) and compiles once per bucket
+_DENSIFY_JIT = {}
 
+
+def _densify(eflat, ew, S, V):
+    fn = _DENSIFY_JIT.get((S, V, eflat.size))
+    if fn is None:
+        fn = jax.jit(lambda f, w: jnp.zeros(
+            (S * V * V,), jnp.float32).at[f].add(w).reshape(S, V, V))
+        _DENSIFY_JIT[(S, V, eflat.size)] = fn
+    return fn(jnp.asarray(eflat), jnp.asarray(ew))
+
+
+def _build_solver(S, V, m, fista_iters):
+    def solve(K, u, a0, s_target):
         def mv(x):  # batched GEMV on the MXU
             return jnp.einsum("svw,sw->sv", K, x,
                               preferred_element_type=jnp.float32)
@@ -160,7 +171,9 @@ def one_class_alphas(adjm, nu=0.5, fista_iters=_FISTA_ITERS):
         for s0 in range(0, len(idxs), s_cap):
             slab = idxs[s0:s0 + s_cap]
             S = len(slab)
-            S_pad = _pow2(S)
+            # multi-slab buckets pad every slab to s_cap so the heavy
+            # solver program compiles once per (V,)
+            S_pad = s_cap if len(idxs) > s_cap else _pow2(S)
             eflats, ews = [], []
             u = np.zeros((S_pad, V), np.float32)
             s_target = np.zeros(S_pad, np.float32)
@@ -189,13 +202,13 @@ def one_class_alphas(adjm, nu=0.5, fista_iters=_FISTA_ITERS):
             a0 = np.clip(s_target[:, None] - np.arange(V)[None, :],
                          0.0, 1.0).astype(np.float32) * u
 
-            key = (S_pad, V, _LANCZOS_M, E_pad, fista_iters)
+            K = _densify(eflat, ew, S_pad, V)
+            key = (S_pad, V, _LANCZOS_M, fista_iters)
             fn = _SOLVE_JIT.get(key)
             if fn is None:
                 fn = _build_solver(S_pad, V, _LANCZOS_M, fista_iters)
                 _SOLVE_JIT[key] = fn
-            a = np.asarray(fn(jnp.asarray(eflat), jnp.asarray(ew),
-                              jnp.asarray(u), jnp.asarray(a0),
+            a = np.asarray(fn(K, jnp.asarray(u), jnp.asarray(a0),
                               jnp.asarray(s_target)), np.float64)
             for g, gi in enumerate(slab):
                 out[gi] = a[g, :adjm[gi].shape[0]]

@@ -272,7 +272,12 @@ def test_pm_device_embeddings_match_scipy():
         graphs.append([A, {v: v % 3 for v in range(n)}, {}])
     pm = PyramidMatch()
     pm.initialize()
-    dev = batched_topd_abs_eigvecs(list(enumerate(adjm)), pm.d)
+    coo = []
+    for i, A in enumerate(adjm):
+        r, c = np.nonzero(A)
+        coo.append((i, A.shape[0], r.astype(np.int32),
+                    c.astype(np.int32), A[r, c].astype(np.float32)))
+    dev = batched_topd_abs_eigvecs(coo, pm.d)
     for i, A in enumerate(adjm):
         ref = pm._embed(A)
         assert dev[i].shape == ref.shape

@@ -102,6 +102,14 @@ PUBLISHED = {
     ("ML", "IMDB-B"): 4926.04,
     ("ML", "ENZYMES"): 3403.76,
     ("ML", "NCI1"): 19856.29,
+    ("ML", "REDDIT-B"): 30078.76,
+    ("WL-SP", "IMDB-B"): 92.66,
+    ("WL-PM", "NCI1"): 48694.36,
+    ("NSPDK", "IMDB-B"): 258.12,
+    ("CORE-WL", "IMDB-B"): 36.74,
+    ("CORE-SP", "IMDB-B"): 238.29,
+    ("CORE-WL", "REDDIT-B"): 2701.09,
+    ("CORE-SP", "REDDIT-B"): 38223.94,
     # REDDIT-B column (evaluation.rst:63-100)
     ("VH", "REDDIT-B"): 0.67,
     ("WL-VH", "REDDIT-B"): 962.65,
@@ -127,13 +135,22 @@ PUBLISHED = {
 REF_FAILED = {
     ("WL-VH", "REDDIT-M-12K"): "OUT-OF-MEM",
     ("CORE-WL", "REDDIT-M-12K"): "OUT-OF-MEM",
+    ("CORE-SP", "REDDIT-M-12K"): "OUT-OF-MEM",
     ("ML", "REDDIT-M-12K"): "OUT-OF-MEM",
     ("SP", "REDDIT-M-12K"): "TIMEOUT",
     ("NSPDK", "REDDIT-M-12K"): "TIMEOUT",
     ("GH", "REDDIT-M-12K"): "TIMEOUT",
+    ("WL-SP", "REDDIT-M-12K"): "TIMEOUT",
+    ("RW", "REDDIT-M-12K"): "TIMEOUT",
+    ("Lo-theta", "REDDIT-M-12K"): "TIMEOUT",
+    ("RW", "NCI1"): "TIMEOUT",
     ("RW", "REDDIT-B"): "TIMEOUT",
     ("WL-SP", "REDDIT-B"): "TIMEOUT",
     ("NSPDK", "REDDIT-B"): "TIMEOUT",
+    ("GH", "REDDIT-B"): "TIMEOUT",
+    ("Lo-theta", "REDDIT-B"): "TIMEOUT",
+    ("SM", "NCI1"): "TIMEOUT",
+    ("SM", "IMDB-B"): "TIMEOUT",
     ("SM", "REDDIT-B"): "OUT-OF-MEM",
 }
 
@@ -186,19 +203,23 @@ PLAN = [
             "REDDIT-M-12K"]),
     ("ODD-STh", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
                  "REDDIT-M-12K"]),
-    ("NSPDK", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("NSPDK", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
+               "REDDIT-M-12K"]),
     ("WL-OA", ["MUTAG", "ENZYMES", "NCI1"]),
-    ("CORE-WL", ["MUTAG", "ENZYMES", "NCI1"]),
-    ("CORE-SP", ["MUTAG", "ENZYMES", "NCI1"]),
-    ("WL-SP", ["MUTAG", "ENZYMES", "NCI1"]),
+    ("CORE-WL", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
+                 "REDDIT-M-12K"]),
+    ("CORE-SP", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("WL-SP", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
     ("SVM-theta", ["MUTAG", "IMDB-B", "REDDIT-B", "REDDIT-M-12K"]),
     ("GR", ["MUTAG", "NCI1", "IMDB-B", "REDDIT-B", "REDDIT-M-12K"]),
-    ("RW", ["MUTAG", "ENZYMES", "IMDB-B"]),
-    ("SM", ["MUTAG", "ENZYMES"]),
-    ("GH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B"]),
-    ("ML", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B"]),
+    ("RW", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
+    ("SM", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B"]),
+    ("GH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
+            "REDDIT-M-12K"]),
+    ("ML", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
+            "REDDIT-M-12K"]),
     ("Lo-theta", ["MUTAG", "IMDB-B"]),
-    ("WL-PM", ["MUTAG", "ENZYMES"]),
+    ("WL-PM", ["MUTAG", "ENZYMES", "NCI1"]),
 ]
 
 QUICK_PLAN = [(k, [d for d in ds if d == "MUTAG"]) for k, ds in PLAN]
