@@ -13,6 +13,7 @@ Run (exclusive TPU access):
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -63,6 +64,17 @@ def main():
         rows.append((cell, best, stages))
         print(cell, round(best, 3), stages, flush=True)
 
+    # merge into the json so partial runs never clobber earlier cells
+    jpath = os.path.join(HERE, "docs", "stage_breakdown.json")
+    merged = {}
+    if os.path.exists(jpath):
+        with open(jpath) as f:
+            merged = json.load(f)
+    for cell, secs, stages in rows:
+        merged[cell] = {"total_s": secs, "stages": stages}
+    with open(jpath, "w") as f:
+        json.dump(merged, f, indent=1)
+
     lines = [
         "# Stage breakdowns — where the sub-50x cells spend their time",
         "",
@@ -76,11 +88,21 @@ def main():
         "| cell | total s | stages |",
         "|---|---|---|",
     ]
-    for cell, secs, stages in rows:
-        st = "; ".join("%s %.2fs" % (k, v) for k, v in stages.items()) \
-            or "--"
-        lines.append("| %s | %.2f | %s |" % (cell, secs, st))
+    for cell, rec in merged.items():
+        st = "; ".join("%s %.2fs" % (k, v)
+                       for k, v in rec["stages"].items()) or "--"
+        lines.append("| %s | %.2f | %s |" % (cell, rec["total_s"], st))
     lines.append("")
+    lines.append("Stage runs are separate measurements from the cells in")
+    lines.append("benchmarks.json (the canonical numbers): the tunnel's")
+    lines.append("bandwidth varies ~2x run to run, so totals here can")
+    lines.append("differ from the canonical cell by that factor; the")
+    lines.append("stage SPLIT is the signal.")
+    lines.append("")
+    apath = os.path.join(HERE, "docs", "stage_analysis.md")
+    if os.path.exists(apath):
+        with open(apath) as f:
+            lines.append(f.read())
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
     print("wrote", args.out)
