@@ -229,6 +229,9 @@ QUICK_PLAN = [(k, [d for d in ds if d == "MUTAG"]) for k, ds in PLAN]
 FEATURE_OVERRIDE = {"ML": ("na", 6)}
 
 
+_CACHE_DIR = os.path.join(HERE, ".bench_cache")
+
+
 def load(name, features=None):
     spec = dict(DATASETS[name])
     if features is not None:
@@ -236,8 +239,58 @@ def load(name, features=None):
     elif spec["features"] is None:
         spec["features"] = ("nl", 2)  # degree-like labels stand-in
     n = spec.pop("n_graphs")
+
+    # disk-cache the generated dataset as COO + labels: regenerating
+    # REDDIT-M-12K costs ~20 min of host time per bench invocation
+    fk, fd = spec["features"]
+    tag = f"{name}_{fk}{fd}_{n}"
+    path = os.path.join(_CACHE_DIR, tag + ".npz")
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=False)
+        ns, goff = z["ns"], z["goff"]
+        src, dst, w, eoff = z["src"], z["dst"], z["w"], z["eoff"]
+        labs = z["labs"]
+        out = []
+        for g in range(len(ns)):
+            m = int(ns[g])
+            A = np.zeros((m, m))
+            s = slice(eoff[g], eoff[g + 1])
+            A[src[s], dst[s]] = w[s]
+            lv = labs[goff[g]:goff[g + 1]]
+            if fk == "nl":
+                nl = {v: int(lv[v]) for v in range(m)}
+            else:
+                nl = {v: lv[v].copy() for v in range(m)}
+            out.append([A, nl, {}])
+        return out
+
     train, _ = generate_dataset(n_graphs=n + 1, n_graphs_test=1,
                                 random_state=1234, **spec)
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        ns = np.array([a[0].shape[0] for a in train], np.int64)
+        goff = np.concatenate([[0], np.cumsum(ns)])
+        srcs, dsts, ws = [], [], []
+        labl = []
+        for A, nl, _e in train:
+            i, j = np.nonzero(A)
+            srcs.append(i.astype(np.int32))
+            dsts.append(j.astype(np.int32))
+            ws.append(A[i, j])
+            if fk == "nl":
+                labl.append(np.array([nl[v] for v in range(A.shape[0])],
+                                     np.int64))
+            else:
+                labl.append(np.stack([nl[v] for v in range(A.shape[0])])
+                            if A.shape[0] else np.zeros((0, fd)))
+        eoff = np.concatenate(
+            [[0], np.cumsum([len(x) for x in srcs])]).astype(np.int64)
+        np.savez_compressed(
+            path, ns=ns, goff=goff, eoff=eoff,
+            src=np.concatenate(srcs), dst=np.concatenate(dsts),
+            w=np.concatenate(ws), labs=np.concatenate(labl))
+    except Exception as e:  # cache failure must never break a bench
+        print("dataset cache write failed:", e, file=sys.stderr)
     return train
 
 
