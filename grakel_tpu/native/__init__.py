@@ -34,9 +34,14 @@ def _build():
             os.path.join(_SRC, "nspd.cpp"),
             os.path.join(_SRC, "canonical.cpp"),
             os.path.join(_SRC, "odd_sth.cpp")]
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
            "-o", _LIB_PATH] + srcs
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        # toolchains without libgomp: build single-threaded
+        cmd.remove("-fopenmp")
+        subprocess.run(cmd, check=True, capture_output=True)
 
 
 def _load():
