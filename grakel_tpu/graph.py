@@ -366,17 +366,25 @@ class Graph(object):
     def get_edges(self, purpose="any"):
         return list(zip(self.senders.tolist(), self.receivers.tolist()))
 
-    def get_adjacency_matrix(self):
-        if "adj" not in self._cache:
-            if self._adj_pending is not None:
-                # pending adjacency input: copy (callers may mutate the
-                # returned matrix) without forcing the COO extraction
-                A = np.array(self._adj_pending, dtype=np.float64)
-            else:
-                A = np.zeros((self.n, self.n), dtype=np.float64)
-                if len(self.senders):
-                    A[self.senders, self.receivers] = self.weights
-            self._cache["adj"] = A
+    def get_adjacency_matrix(self, copy=True):
+        """Dense adjacency.  ``copy=False`` returns the pending input
+        matrix itself when one exists (READ-ONLY by contract, and not
+        cached — no aliasing with the mutable cached copy): at
+        REDDIT-M-12K scale the defensive per-graph dense copy measured
+        ~30 s of GraphletSampling parse."""
+        if "adj" in self._cache:
+            return self._cache["adj"]
+        if self._adj_pending is not None:
+            if (not copy and isinstance(self._adj_pending, np.ndarray)
+                    and self._adj_pending.dtype == np.float64):
+                return self._adj_pending
+            # copy: callers of the default path may mutate the result
+            A = np.array(self._adj_pending, dtype=np.float64)
+        else:
+            A = np.zeros((self.n, self.n), dtype=np.float64)
+            if len(self.senders):
+                A[self.senders, self.receivers] = self.weights
+        self._cache["adj"] = A
         return self._cache["adj"]
 
     # alias used throughout the reference API surface
