@@ -167,12 +167,67 @@ def _direct_ids(S, labels, valid, gid_base, L, D):
     return ids.reshape(-1), gids.reshape(-1), valid.reshape(-1)
 
 
+# ---- streaming direct path (datasets too big to ship dense) --------- #
+_SP_DENSIFY_JIT = {}
+
+
+def _sp_densify(eflat, ew, S, V):
+    """COO -> [S, V, V] on device; its own tiny jit so the heavy slab
+    program below never keys its compile cache on the edge count."""
+    fn = _SP_DENSIFY_JIT.get((S, V, eflat.size))
+    if fn is None:
+        fn = jax.jit(lambda f, w: jnp.zeros(
+            (S * V * V,), jnp.float32).at[f].add(w).reshape(S, V, V))
+        _SP_DENSIFY_JIT[(S, V, eflat.size)] = fn
+    return fn(jnp.asarray(eflat), jnp.asarray(ew))
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6), donate_argnums=(4,))
+def _sp_slab_counts(A, Lb, M, gidx, C, L, D):
+    """One slab of the streaming direct path: FW -> triplet ids ->
+    per-graph counts accumulated into the device matrix
+    C [n_graphs + 1, L*L*D] (the extra row parks invalid items).  The
+    Gram follows as ONE feature GEMM after all slabs — counts are
+    additive across slabs, so per-slab partial GEMMs (which would drop
+    cross-slab products) never happen."""
+    S = batched_floyd_warshall(A, M)
+    V = S.shape[1]
+    valid = (M[:, :, None] & M[:, None, :]
+             & ~jnp.eye(V, dtype=bool)[None] & (S < INF / 2))
+    ids, gids, val = _direct_ids(S, Lb, valid, gidx, L, D)
+    width = L * L * D
+    park = C.shape[0] - 1
+    g = jnp.where(val, gids, park)
+    # int32 suffices: callers guard (n_graphs + 1) * width < 2^31
+    seg = g * jnp.int32(width) + jnp.where(val, ids, 0)
+    upd = jax.ops.segment_sum(
+        val.astype(jnp.float32), seg, num_segments=C.shape[0] * width)
+    return C + upd.reshape(C.shape)
+
+
+@jax.jit
+def _gemm_sym_f32(C):
+    return jnp.dot(C, C.T, preferred_element_type=jnp.float32)
+
+
+@jax.jit
+def _gemm_rect_f32(Cy, Cx):
+    return jnp.dot(Cy, Cx.T, preferred_element_type=jnp.float32)
+
+
 class ShortestPath(Kernel):
     """Labeled/unlabeled shortest-path kernel."""
 
     # direct-index feature-space cap: L^2 * D label-distance cells
     # (= 64 GEMM chunks of 4096); larger spaces use hash compaction
     _DIRECT_MAX_WIDTH = 1 << 18
+    # total dense-bucket bytes past which parse keeps COO only and the
+    # Gram streams slab-by-slab through _sp_slab_counts (REDDIT-M-12K's
+    # dense buckets are ~13 GB host + a ~2.5-minute tunnel upload, and
+    # were measured driving the host toward OOM via transfer staging)
+    _STREAM_BYTES = 1 << 28
+    # device bytes per densified slab in the streaming path
+    _STREAM_SLAB_BYTES = 1 << 28
     # repeated-triplet-id count past which the symmetric Gram assembles
     # on host (sparse_counts_gram) instead of the chunked device GEMM
     _SPARSE_GRAM_MIN_REP = 1 << 16
@@ -185,6 +240,18 @@ class ShortestPath(Kernel):
         self.algorithm_type = algorithm_type
         self.with_labels = with_labels
 
+    def __getstate__(self):
+        # drop cached DEVICE count matrices (stream mode) — rebuilt
+        # lazily after unpickling
+        st = self.__dict__.copy()
+        for attr in ("X", "_Y"):
+            p = st.get(attr)
+            if isinstance(p, dict) and p.get("counts"):
+                p = dict(p)
+                p["counts"] = {}
+                st[attr] = p
+        return st
+
     # ------------------------------------------------------------------ #
     def parse_input(self, X):
         """-> per-bucket dense host arrays + label metadata; all per-pair
@@ -195,16 +262,25 @@ class ShortestPath(Kernel):
         elif not hasattr(self, "_enum"):
             raise ValueError("fit before transform")
         from ..batch import enumerate_labels
+        sizes = sorted(_size_buckets(graphs).items())
+        total_dense = sum(len(idxs) * V * V * 4 for V, idxs in sizes)
+        stream = total_dense > self._STREAM_BYTES
         buckets = []
         unit = True
-        for V, idxs in sorted(_size_buckets(graphs).items()):
+        for V, idxs in sizes:
             nb = len(idxs)
-            A = np.zeros((nb, V, V), dtype=np.float32)
+            A = None if stream else np.zeros((nb, V, V), dtype=np.float32)
+            coo = [] if stream else None
             L = np.zeros((nb, V), dtype=np.int32)
             M = np.zeros((nb, V), dtype=bool)
             for bi, gi in enumerate(idxs):
                 g = graphs[gi]
-                if len(g.senders):
+                if stream:
+                    coo.append((g.senders, g.receivers, g.weights))
+                    if unit and len(g.weights) and \
+                            not np.all(g.weights == 1.0):
+                        unit = False
+                elif len(g.senders):
                     # COO scatter — never materializes the per-graph
                     # dense adjacency a second time
                     A[bi, g.senders, g.receivers] = g.weights
@@ -218,13 +294,15 @@ class ShortestPath(Kernel):
                             "node-labeled graphs")
                     L[bi, :g.n] = enumerate_labels(
                         [labs[v] for v in range(g.n)], self._enum)
-            if unit:
+            if not stream and unit:
                 w = A[A != 0]
                 if w.size and not np.all(w == 1.0):
                     unit = False
-            buckets.append((np.asarray(idxs, np.int32), A, L, M))
+            buckets.append((np.asarray(idxs, np.int32),
+                            coo if stream else A, L, M))
         return {"n": len(graphs), "buckets": buckets, "unit": unit,
-                "max_V": max((b[1].shape[1] for b in buckets), default=1)}
+                "stream": stream, "counts": {},
+                "max_V": max((b[3].shape[1] for b in buckets), default=1)}
 
     def fit(self, X, y=None):
         self._method_calling = 1
@@ -312,8 +390,131 @@ class ShortestPath(Kernel):
         return out
 
     # ------------------------------------------------------------------ #
+    def _materialize(self, p):
+        """Convert a stream-mode parse to dense buckets in place (the
+        non-unit-weight / too-wide fallbacks need host dense arrays)."""
+        if not p.get("stream"):
+            return p
+        warnings.warn("ShortestPath streaming fallback: materializing "
+                      "dense buckets on host (weighted or very wide "
+                      "label space at large scale)")
+        buckets = []
+        for idxs, coo, Lb, M in p["buckets"]:
+            V = M.shape[1]
+            A = np.zeros((len(idxs), V, V), np.float32)
+            for bi, (s, r, w) in enumerate(coo):
+                if len(s):
+                    A[bi, s, r] = w
+            buckets.append((idxs, A, Lb, M))
+        p["buckets"] = buckets
+        p["stream"] = False
+        return p
+
+    def _dense_counts(self, p, L, D):
+        """Counts matrix via the same slab program for a DENSE-mode
+        parse (small side of a mixed rect transform)."""
+        key = (L, D)
+        C = p.setdefault("counts", {}).get(key)
+        if C is not None:
+            return C
+        n = p["n"]
+        width = L * L * D
+        C = jnp.zeros((n + 1, width), jnp.float32)
+        for idxs, A, Lb, M in p["buckets"]:
+            V = M.shape[1]
+            s_cap = int(max(8, min(512, self._STREAM_SLAB_BYTES
+                                   // (V * V * 4))))
+            for s0 in range(0, len(idxs), s_cap):
+                sl = slice(s0, min(s0 + s_cap, len(idxs)))
+                nb = sl.stop - s0
+                S_pad = s_cap if len(idxs) > s_cap else \
+                    max(8, 1 << (nb - 1).bit_length())
+                A_s = np.zeros((S_pad, V, V), np.float32)
+                A_s[:nb] = A[sl]
+                Lb_s = np.zeros((S_pad, V), np.int32)
+                Lb_s[:nb] = Lb[sl]
+                M_s = np.zeros((S_pad, V), bool)
+                M_s[:nb] = M[sl]
+                gidx = np.zeros(S_pad, np.int32)
+                gidx[:nb] = idxs[sl]
+                C = _sp_slab_counts(jnp.asarray(A_s), jnp.asarray(Lb_s),
+                                    jnp.asarray(M_s), jnp.asarray(gidx),
+                                    C, L, D)
+        p["counts"][key] = C
+        return C
+
+    def _stream_counts(self, p, L, D):
+        """Device [n + 1, L*L*D] triplet-count matrix for a stream-mode
+        parse, built slab by slab (bounded memory, COO-only uploads)."""
+        key = (L, D)
+        C = p["counts"].get(key)
+        if C is not None:
+            return C
+        n = p["n"]
+        width = L * L * D
+        if (n + 1) * width > (1 << 31) - 1:
+            raise ValueError("streaming SP feature space too wide")
+        C = jnp.zeros((n + 1, width), jnp.float32)
+        for idxs, coo, Lb, M in p["buckets"]:
+            V = M.shape[1]
+            s_cap = int(max(8, min(512, self._STREAM_SLAB_BYTES
+                                   // (V * V * 4))))
+            for s0 in range(0, len(idxs), s_cap):
+                sl = slice(s0, min(s0 + s_cap, len(idxs)))
+                nb = sl.stop - s0
+                S_pad = s_cap if len(idxs) > s_cap else \
+                    max(8, 1 << (nb - 1).bit_length())
+                eflats, ews = [], []
+                for bi in range(nb):
+                    s, r, w = coo[s0 + bi]
+                    eflats.append(bi * V * V + s.astype(np.int64) * V
+                                  + r.astype(np.int64))
+                    ews.append(np.asarray(w, np.float32))
+                eflat = (np.concatenate(eflats) if eflats
+                         else np.zeros(0, np.int64))
+                ew = np.concatenate(ews) if ews else np.zeros(0,
+                                                              np.float32)
+                E_pad = max(8, 1 << (max(eflat.size, 1) - 1).bit_length())
+                eflat = np.pad(eflat, (0, E_pad - eflat.size))
+                ew = np.pad(ew, (0, E_pad - ew.size))  # zero-weight pads
+                A = _sp_densify(eflat, ew, S_pad, V)
+                Lb_s = np.zeros((S_pad, V), np.int32)
+                Lb_s[:nb] = Lb[sl]
+                M_s = np.zeros((S_pad, V), bool)
+                M_s[:nb] = M[sl]
+                gidx = np.zeros(S_pad, np.int32)
+                gidx[:nb] = idxs[sl]
+                C = _sp_slab_counts(A, jnp.asarray(Lb_s),
+                                    jnp.asarray(M_s), jnp.asarray(gidx),
+                                    C, L, D)
+        p["counts"][key] = C
+        return C
+
     def _gram(self, px, py=None):
         from ..ops.gram import chunk_plan
+        if px.get("stream") or (py is not None and py.get("stream")):
+            ok, L = self._direct_eligible(
+                *([px] if py is None else [px, py]))
+            D = int(px["max_V"] if py is None
+                    else max(px["max_V"], py["max_V"]))
+            if ok and L * L * D <= self._DIRECT_MAX_WIDTH:
+                if py is None:
+                    Cx = self._stream_counts(px, L, D)
+                    K = _gemm_sym_f32(Cx[:px["n"]])
+                    return fetch_gram(K)
+                # rect: both sides as count matrices in the SAME (L, D)
+                # encoding (unseen labels extend L, so fit-side counts
+                # rebuild under the new key and are cached per (L, D))
+                Cxx = (self._stream_counts(px, L, D) if px.get("stream")
+                       else self._dense_counts(px, L, D))
+                Cyy = (self._stream_counts(py, L, D) if py.get("stream")
+                       else self._dense_counts(py, L, D))
+                K = _gemm_rect_f32(Cyy[:py["n"]], Cxx[:px["n"]])
+                return fetch_gram(K)
+            # weighted or too-wide: fall back to the dense-bucket paths
+            self._materialize(px)
+            if py is not None:
+                self._materialize(py)
         if py is None:
             ok, L = self._direct_eligible(px)
             if ok:
@@ -437,6 +638,18 @@ class ShortestPath(Kernel):
                 and parsed is getattr(self, "_Y", None)
                 and hasattr(self, "_Y_diag_cache")):
             return self._Y_diag_cache
+        if parsed.get("stream"):
+            ok, L = self._direct_eligible(parsed)
+            D = int(parsed["max_V"])
+            if ok and L * L * D <= self._DIRECT_MAX_WIDTH:
+                # sum_f c^2 is encoding-invariant: any cached (L, D)
+                # counts matrix gives the same diagonal
+                cached = next(iter(parsed["counts"].values()), None)
+                C = cached if cached is not None \
+                    else self._stream_counts(parsed, L, D)
+                n = parsed["n"]
+                return np.asarray(jnp.sum(C[:n] * C[:n], axis=1))
+            self._materialize(parsed)
         ok, L = self._direct_eligible(parsed)
         if ok:
             fw, dmax = self._fw_all(parsed)
