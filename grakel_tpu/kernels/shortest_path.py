@@ -265,6 +265,16 @@ class ShortestPath(Kernel):
         sizes = sorted(_size_buckets(graphs).items())
         total_dense = sum(len(idxs) * V * V * 4 for V, idxs in sizes)
         stream = total_dense > self._STREAM_BYTES
+        if stream:
+            # coarsen to power-of-two buckets: the fine multiple-of-8
+            # granularity means ~75 distinct FW-program compiles at
+            # REDDIT-M-12K (~30-60 s each over the tunnel); pow2 pays
+            # ~2x padded FW compute for ~5 compiles total
+            coarse = {}
+            for V, idxs in sizes:
+                Vp = max(8, 1 << (V - 1).bit_length())
+                coarse.setdefault(Vp, []).extend(idxs)
+            sizes = sorted(coarse.items())
         buckets = []
         unit = True
         for V, idxs in sizes:
