@@ -57,6 +57,16 @@ def ref_kernels():
         "GH": lambda: rk.GraphHopper(),
         "ML": lambda: rk.MultiscaleLaplacian(random_state=42),
         "WL-OA": lambda: rk.WeisfeilerLehmanOptimalAssignment(),
+        "WL-SP": lambda: rk.WeisfeilerLehman(
+            n_iter=5, base_graph_kernel=(rk.ShortestPath, {})),
+        "WL-PM": lambda: rk.WeisfeilerLehman(
+            n_iter=5, base_graph_kernel=(rk.PyramidMatch, {})),
+        "CORE-WL": lambda: rk.CoreFramework(
+            base_graph_kernel=(rk.WeisfeilerLehman, {})),
+        "CORE-SP": lambda: rk.CoreFramework(
+            base_graph_kernel=(rk.ShortestPath, {})),
+        "SM": lambda: rk.SubgraphMatching(k=3),
+        "Lo-theta": lambda: rk.LovaszTheta(random_state=42),
     }
 
 
