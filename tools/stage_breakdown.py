@@ -36,12 +36,17 @@ def main():
     ap.add_argument("--cells", default=",".join(DEFAULT_CELLS))
     ap.add_argument("--out", default=os.path.join(HERE, "docs",
                                                   "stage_breakdown.md"))
+    ap.add_argument("--md-only", action="store_true",
+                    help="regenerate the md from the merged json without "
+                         "running any cells")
     args = ap.parse_args()
+    if args.md_only:
+        args.cells = ""
 
     kernels = fb._kernels()
     cache = {}
     rows = []
-    for cell in args.cells.split(","):
+    for cell in (c for c in args.cells.split(",") if c):
         kname, dname = cell.split("/")
         if dname not in cache:
             cache[dname] = fb.load(dname,
@@ -54,9 +59,27 @@ def main():
             K = k.fit_transform(data)
             dt = time.perf_counter() - t0
             timer = getattr(k, "timer_", None)
-            # frameworks wrap an inner kernel; surface whatever exists
-            if timer is None and hasattr(k, "kernel_"):
-                timer = getattr(k.kernel_, "timer_", None)
+            # frameworks wrap inner kernels; aggregate their timers
+            if timer is None or not getattr(timer, "times", None):
+                inner = []
+                for attr in ("kernel_", "_base_kernels", "_kernels", "X"):
+                    sub = getattr(k, attr, None)
+                    if sub is None:
+                        continue
+                    vals = (sub.values() if isinstance(sub, dict)
+                            else sub if isinstance(sub, (list, tuple))
+                            else [sub])
+                    inner.extend(vals)
+                agg = {}
+                for bk in inner:
+                    t = getattr(bk, "timer_", None)
+                    if t is not None:
+                        for name, secs in t.times.items():
+                            agg[name] = agg.get(name, 0.0) + secs
+                if agg:
+                    class _T:  # minimal timer shim
+                        times = agg
+                    timer = _T()
             if best is None or dt < best:
                 best, best_timer = dt, timer
         assert np.isfinite(np.asarray(K)).all()
