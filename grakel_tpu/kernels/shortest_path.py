@@ -420,6 +420,13 @@ class ShortestPath(Kernel):
         p["stream"] = False
         return p
 
+    @staticmethod
+    def _counts_ok(width, *ps):
+        """True iff the int32 segment encoding g*width+id used by
+        _sp_slab_counts cannot overflow for any involved parse."""
+        n = max(p["n"] for p in ps)
+        return (n + 1) * width <= (1 << 31) - 1
+
     def _dense_counts(self, p, L, D):
         """Counts matrix via the same slab program for a DENSE-mode
         parse (small side of a mixed rect transform)."""
@@ -429,6 +436,10 @@ class ShortestPath(Kernel):
             return C
         n = p["n"]
         width = L * L * D
+        if (n + 1) * width > (1 << 31) - 1:
+            # _sp_slab_counts segments with int32 g*width+id; callers
+            # (_gram/_diag) route away from the counts path before this
+            raise ValueError("SP counts feature space too wide")
         C = jnp.zeros((n + 1, width), jnp.float32)
         for idxs, A, Lb, M in p["buckets"]:
             V = M.shape[1]
@@ -463,6 +474,7 @@ class ShortestPath(Kernel):
         n = p["n"]
         width = L * L * D
         if (n + 1) * width > (1 << 31) - 1:
+            # unreachable via _gram/_diag (they check _counts_ok first)
             raise ValueError("streaming SP feature space too wide")
         C = jnp.zeros((n + 1, width), jnp.float32)
         for idxs, coo, Lb, M in p["buckets"]:
@@ -507,7 +519,9 @@ class ShortestPath(Kernel):
                 *([px] if py is None else [px, py]))
             D = int(px["max_V"] if py is None
                     else max(px["max_V"], py["max_V"]))
-            if ok and L * L * D <= self._DIRECT_MAX_WIDTH:
+            if (ok and L * L * D <= self._DIRECT_MAX_WIDTH
+                    and self._counts_ok(L * L * D, px,
+                                        *([] if py is None else [py]))):
                 if py is None:
                     Cx = self._stream_counts(px, L, D)
                     K = _gemm_sym_f32(Cx[:px["n"]])
@@ -651,7 +665,8 @@ class ShortestPath(Kernel):
         if parsed.get("stream"):
             ok, L = self._direct_eligible(parsed)
             D = int(parsed["max_V"])
-            if ok and L * L * D <= self._DIRECT_MAX_WIDTH:
+            if (ok and L * L * D <= self._DIRECT_MAX_WIDTH
+                    and self._counts_ok(L * L * D, parsed)):
                 # sum_f c^2 is encoding-invariant: any cached (L, D)
                 # counts matrix gives the same diagonal
                 cached = next(iter(parsed["counts"].values()), None)

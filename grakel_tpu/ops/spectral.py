@@ -38,6 +38,17 @@ import jax.numpy as jnp
 __all__ = ["batched_topd_abs_eigvecs"]
 
 _SLAB = 128
+_SLAB_BYTES = 1 << 28  # cap [S, V, V] f32 slab at 256 MB device bytes
+
+
+def _slab_cap(V):
+    """Slab size bounded by bytes AND by the int32 flat scatter index
+    (jnp.asarray silently downcasts host int64 indices with x64 off)."""
+    cap = int(max(1, min(_SLAB, _SLAB_BYTES // (V * V * 4))))
+    while cap > 1 and cap * V * V > (1 << 31) - 1:
+        cap //= 2
+    return cap
+
 
 _EMBED_JIT = {}
 
@@ -130,13 +141,15 @@ def batched_topd_abs_eigvecs(items, d):
         V = max(8, 1 << (n - 1).bit_length())
         buckets.setdefault(V, []).append(item)
     for V, group in sorted(buckets.items()):
-        for s0 in range(0, len(group), _SLAB):
-            slab = group[s0:s0 + _SLAB]
+        s_cap = _slab_cap(V)
+        for s0 in range(0, len(group), s_cap):
+            slab = group[s0:s0 + s_cap]
             S = len(slab)
-            # a bucket bigger than one slab pads every slab to _SLAB so
+            # a bucket bigger than one slab pads every slab to s_cap so
             # the heavy Lanczos program compiles once per (V, d)
-            S_pad = _SLAB if len(group) > _SLAB \
-                else max(8, 1 << (S - 1).bit_length())
+            S_pad = s_cap if len(group) > s_cap \
+                else min(s_cap, max(8, 1 << (S - 1).bit_length()))
+            assert S_pad * V * V <= (1 << 31) - 1
             srcs, dsts, ws, gnums = [], [], [], []
             # deterministic start vector MASKED to real vertices: the
             # Krylov space then lives entirely in the real subspace, so

@@ -252,6 +252,28 @@ def test_svm_qp_matches_libsvm():
         # optimality: never worse than libsvm (float32 path slack)
         assert 0.5 * a @ K @ a <= 0.5 * r @ K @ r + 1e-5
 
+    # feature-level agreement on an IMDB-B-shaped batch (dense unlabeled
+    # graphs): the kernel's phi is a subset-sampled linear functional of
+    # alpha, so this validates the 2e-3 parity bound beyond MUTAG while
+    # staying robust to the (documented) non-uniqueness of raw alphas
+    from grakel_tpu.kernels.svm_theta import SvmTheta
+    imdb = []
+    for i in range(16):
+        n = rng.randint(12, 29)
+        A = (rng.rand(n, n) < 0.5).astype(float)
+        A = np.triu(A, 1)
+        imdb.append(A + A.T)
+    ours_b = one_class_alphas(imdb)
+    for A, a in zip(imdb, ours_b):
+        r = _svm_alphas(A)
+        k = SvmTheta(random_state=0)
+        k.initialize()
+        phi_a = k._levels(A, a)
+        k2 = SvmTheta(random_state=0)
+        k2.initialize()
+        phi_r = k2._levels(A, r)
+        np.testing.assert_allclose(phi_a, phi_r, rtol=2e-3, atol=2e-3)
+
 
 def test_pm_device_embeddings_match_scipy():
     """Slab-batched device eigh embeddings (ops/spectral.py) agree with
