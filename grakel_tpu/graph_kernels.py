@@ -96,13 +96,16 @@ class GraphKernel(BaseEstimator, TransformerMixin):
     """Generic wrapper dispatching a kernel spec to a kernel instance."""
 
     def __init__(self, kernel="shortest_path", normalize=False, verbose=False,
-                 n_jobs=None, random_state=None, Nystroem=False):
+                 n_jobs=None, random_state=None, Nystroem=False, mesh=None):
         self.kernel = kernel
         self.normalize = normalize
         self.verbose = verbose
         self.n_jobs = n_jobs
         self.random_state = random_state
         self.Nystroem = Nystroem
+        # 1-D jax.sharding.Mesh or "auto": multi-device Gram assembly
+        # (threaded onto the built kernel; see kernels.base.Kernel.mesh)
+        self.mesh = mesh
         self._initialized = False
 
     # ------------------------------------------------------------------ #
@@ -114,6 +117,11 @@ class GraphKernel(BaseEstimator, TransformerMixin):
             raise ValueError("kernel spec must be a str, dict, or non-empty "
                              "list of dicts")
         self.kernel_ = self._make_kernel(list(spec))
+        if self.mesh is not None:
+            # attribute injection (not a constructor param) keeps the 21
+            # concrete kernel signatures at reference parity; framework
+            # base kernels inherit the ambient mesh at call time
+            self.kernel_.mesh = self.mesh
         if self.Nystroem:
             ncomp = 100 if self.Nystroem is True else int(self.Nystroem)
             if ncomp <= 0:

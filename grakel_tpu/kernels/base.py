@@ -112,11 +112,37 @@ def normalize_input(X):
     return out
 
 
+def _mesh_entry(fn):
+    """Entry-point wrapper installing ``self.mesh`` as the ambient Gram
+    mesh (see Kernel.__init_subclass__)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(self, *a, **k):
+        if getattr(self, "mesh", None) is None:
+            return fn(self, *a, **k)
+        from ..ops.gram import use_mesh
+        with use_mesh(self._resolved_mesh()):
+            return fn(self, *a, **k)
+    wrapped._mesh_wrapped = True
+    return wrapped
+
+
 class Kernel(BaseEstimator, TransformerMixin):
     """Base graph kernel (see module docstring)."""
 
     # subclasses may flip this to request normalized-by-construction output
     _inherently_normalized = False
+
+    # Multi-device execution: set ``k.mesh`` to a 1-D jax.sharding.Mesh
+    # (or "auto" = all local devices) and every counts-GEMM/feature-GEMM
+    # this kernel issues through ops.gram reroutes to the ring-sharded
+    # programs in grakel_tpu.parallel — the distributed analog of the
+    # reference wiring its joblib parallelism into the base class so it
+    # applies to ALL kernels (reference kernel.py:236-246).  Attribute
+    # (not constructor) so the 21 concrete kernel signatures stay at
+    # reference parity; GraphKernel(mesh=...) injects it.
+    mesh = None
 
     def __init__(self, n_jobs=None, normalize=False, verbose=False):
         self.n_jobs = n_jobs
@@ -124,6 +150,34 @@ class Kernel(BaseEstimator, TransformerMixin):
         self.verbose = verbose
         # 1: fit, 2: fit_transform, 3: transform — reference kernel.py:66-71
         self._method_calling = 0
+
+    def _resolved_mesh(self):
+        """self.mesh with "auto" resolved to all local devices (None
+        when only one device is visible)."""
+        m = self.mesh
+        if isinstance(m, str):
+            if m != "auto":
+                raise ValueError("mesh must be a Mesh, 'auto', or None")
+            import jax
+            devs = jax.local_devices()
+            if len(devs) <= 1:
+                return None
+            from ..parallel import make_mesh
+            return make_mesh(len(devs))
+        return m
+
+    def __init_subclass__(cls, **kw):
+        """Wrap every public entry point (including subclass overrides)
+        so ``self.mesh`` is installed as the ambient Gram mesh for the
+        call's duration.  Kernels with ``mesh is None`` run unwrapped and
+        INHERIT any ambient mesh — that is how a framework's internal
+        base kernels (WL's per-iteration VertexHistograms etc.) pick up
+        the framework's mesh without explicit plumbing."""
+        super().__init_subclass__(**kw)
+        for name in ("fit", "fit_transform", "transform", "diagonal"):
+            fn = cls.__dict__.get(name)
+            if fn is not None and not getattr(fn, "_mesh_wrapped", False):
+                setattr(cls, name, _mesh_entry(fn))
 
     # -------------------------------------------------------------- hooks
     def initialize(self):
@@ -345,3 +399,9 @@ class Kernel(BaseEstimator, TransformerMixin):
 
     def _rng(self, seed_attr="random_state"):
         return check_random_state(getattr(self, seed_attr, None))
+
+
+# the base entry points get the same mesh wrapping subclass overrides do
+for _name in ("fit", "fit_transform", "transform", "diagonal"):
+    setattr(Kernel, _name, _mesh_entry(Kernel.__dict__[_name]))
+del _name

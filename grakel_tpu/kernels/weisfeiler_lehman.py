@@ -90,7 +90,15 @@ class WeisfeilerLehman(Kernel):
         self.initialize()
         self.X = self.parse_input(X)
         self._X_diag = None
-        if self._fast:
+        from ..ops.gram import active_mesh
+        if self._fast and active_mesh() is not None:
+            # mesh route: graph-sharded refinement + ring-tiled Gram
+            # (parallel.wl) — the WL fast path's host/single-device
+            # assembly choices below never touch the counts funnel
+            from ..parallel import distributed_wl_gram
+            K = distributed_wl_gram(self.X, self.n_iter, active_mesh())
+            diag = np.diagonal(K).copy()
+        elif self._fast:
             K, diag = self._device_sym(self.X)
         else:
             K = self._host_fit(self.X, with_gram=True)

@@ -19,7 +19,53 @@ import jax.numpy as jnp
 __all__ = ["gram_gemm", "gram_rect", "normalize_gram",
            "coo_counts_gram", "coo_counts_gram_rect", "coo_counts_gram_acc",
            "counts_diag", "chunked_counts_gram_raw", "chunk_plan",
-           "fetch_gram", "cpu_gemm", "sparse_counts_gram"]
+           "fetch_gram", "cpu_gemm", "sparse_counts_gram",
+           "use_mesh", "active_mesh"]
+
+
+# --------------------------------------------------------------------- #
+# active device mesh: every counts-GEMM below reroutes through the
+# ring-sharded programs in grakel_tpu.parallel while a mesh is active.
+# This is THE multi-device entry point for kernel frontends: the base
+# Kernel wraps fit_transform/transform in use_mesh(self.mesh), so every
+# F-style kernel (histograms, SP, WL, WL-OA, PM, PK, ODD, NSPD, ...)
+# funnels its Gram through the mesh without kernel-specific wiring —
+# the distributed analog of the reference applying its one parallelism
+# to all kernels in the base class (reference kernel.py:236-246).
+# --------------------------------------------------------------------- #
+
+_MESH = None
+
+
+class _MeshCtx:
+    def __init__(self, mesh, prev):
+        self.mesh = mesh
+        self.prev = prev
+
+    def __enter__(self):
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _MESH
+        _MESH = self.prev
+        return False
+
+
+def use_mesh(mesh):
+    """Context manager: route eligible Gram assembly over ``mesh``
+    (a 1-D ``jax.sharding.Mesh``; None/1-device meshes are no-ops).
+    Plain module state, deliberately not thread-local: framework base
+    kernels dispatched on worker threads (parallel_sum) inherit the
+    outer kernel's mesh."""
+    global _MESH
+    ctx = _MeshCtx(mesh, _MESH)
+    _MESH = mesh if (mesh is not None and mesh.size > 1) else None
+    return ctx
+
+
+def active_mesh():
+    """The mesh installed by :func:`use_mesh`, or None."""
+    return _MESH
 
 
 def _as_f32(x):
@@ -51,10 +97,25 @@ def _needs_f64(x):
 
 
 def gram_gemm(phi):
-    """K = Phi @ Phi^T (symmetric Gram)."""
+    """K = Phi @ Phi^T (symmetric Gram); ring-sharded over the active
+    mesh when one is installed (f32 path only — the f64 feature kernels
+    are host-bound by design)."""
     if _needs_f64(phi):
         return phi @ phi.T
-    return np.asarray(_gemm_sym(_as_f32(phi)))
+    a = _as_f32(phi)
+    mesh = active_mesh()
+    if mesh is not None:
+        from ..parallel.gram import ring_gram
+        axis = mesh.axis_names[0]
+        P = mesh.shape[axis]
+        n = a.shape[0]
+        rows = -(-n // P)
+        pad = P * rows - n
+        if pad:
+            a = jnp.pad(a, ((0, pad), (0, 0)))
+        K = ring_gram(mesh, a, axis_name=axis)
+        return np.asarray(K)[:n, :n]
+    return np.asarray(_gemm_sym(a))
 
 
 def gram_rect(phi_rows, phi_cols):
@@ -82,6 +143,19 @@ def gram_rect(phi_rows, phi_cols):
         a = a[:, :d]
     elif a.shape[1] < d:
         a = jnp.pad(a, ((0, 0), (0, d - a.shape[1])))
+    mesh = active_mesh()
+    if mesh is not None:
+        from ..parallel.gram import ring_rect_gram
+        axis = mesh.axis_names[0]
+        P = mesh.shape[axis]
+        ny, nx = a.shape[0], b.shape[0]
+        ry, rx = -(-ny // P), -(-nx // P)
+        if P * ry - ny:
+            a = jnp.pad(a, ((0, P * ry - ny), (0, 0)))
+        if P * rx - nx:
+            b = jnp.pad(b, ((0, P * rx - nx), (0, 0)))
+        K = ring_rect_gram(mesh, a, b, axis_name=axis)
+        return np.asarray(K)[:ny, :nx]
     return np.asarray(_gemm_rect(a, b))
 
 
@@ -284,9 +358,61 @@ def chunk_plan(n_labels, chunk=4096):
     return _chunks_for(n_labels, chunk), chunk
 
 
+def _signed_labels(labels):
+    labels = np.asarray(labels)
+    if labels.dtype.kind == "u":
+        labels = labels.astype(np.int64)
+    return labels
+
+
+def _put_items(mesh, axis, items):
+    from jax.sharding import NamedSharding, PartitionSpec
+    sh = NamedSharding(mesh, PartitionSpec(axis, None))
+    return tuple(jax.device_put(a, sh) for a in items)
+
+
+def _mesh_counts_gram(mesh, gids, labels, weights, valid, n_graphs,
+                      n_labels, chunk):
+    from ..parallel.gram import shard_batch, sharded_counts_gram
+    axis = mesh.axis_names[0]
+    P = mesh.shape[axis]
+    lg, lb, lw, lv, rows = shard_batch(
+        np.asarray(gids), _signed_labels(labels), np.asarray(weights),
+        np.asarray(valid), int(n_graphs), P)
+    items = _put_items(mesh, axis, (lg, lb, lw, lv))
+    K = sharded_counts_gram(mesh, *items, rows, int(n_labels),
+                            axis_name=axis, chunk=chunk)
+    n = int(n_graphs)
+    return K[:n, :n]
+
+
+def _mesh_counts_gram_rect(mesh, ga, la, wa, va, gb, lb, wb, vb,
+                           n_a, n_b, n_labels, chunk):
+    from ..parallel.gram import shard_batch, sharded_counts_gram_rect
+    axis = mesh.axis_names[0]
+    P = mesh.shape[axis]
+    *ya, rows_a = shard_batch(np.asarray(ga), _signed_labels(la),
+                              np.asarray(wa), np.asarray(va),
+                              int(n_a), P)
+    *xb, rows_b = shard_batch(np.asarray(gb), _signed_labels(lb),
+                              np.asarray(wb), np.asarray(vb),
+                              int(n_b), P)
+    K = sharded_counts_gram_rect(
+        mesh, _put_items(mesh, axis, ya), _put_items(mesh, axis, xb),
+        rows_a, rows_b, int(n_labels), axis_name=axis, chunk=chunk)
+    return K[:int(n_a), :int(n_b)]
+
+
 def coo_counts_gram(gids, labels, weights, valid, n_graphs, n_labels,
                     chunk=4096):
-    """K[g,g'] = sum_l (sum_{i: gid=g, lab=l} w_i) * (same for g')."""
+    """K[g,g'] = sum_l (sum_{i: gid=g, lab=l} w_i) * (same for g').
+
+    Under an active :func:`use_mesh` mesh the Gram assembles as
+    ring-tiled row blocks across the devices (parallel.gram)."""
+    mesh = active_mesh()
+    if mesh is not None:
+        return _mesh_counts_gram(mesh, gids, labels, weights, valid,
+                                 n_graphs, n_labels, chunk)
     chunk = min(chunk, max(128, 1 << (int(n_labels) - 1).bit_length()))
     nc = _chunks_for(n_labels, chunk)
     return _coo_gram_impl(jnp.asarray(gids), jnp.asarray(labels),
@@ -296,6 +422,10 @@ def coo_counts_gram(gids, labels, weights, valid, n_graphs, n_labels,
 
 def coo_counts_gram_rect(ga, la, wa, va, gb, lb, wb, vb,
                          n_a, n_b, n_labels, chunk=4096):
+    mesh = active_mesh()
+    if mesh is not None:
+        return _mesh_counts_gram_rect(mesh, ga, la, wa, va, gb, lb, wb,
+                                      vb, n_a, n_b, n_labels, chunk)
     chunk = min(chunk, max(128, 1 << (int(n_labels) - 1).bit_length()))
     nc = _chunks_for(n_labels, chunk)
     return _coo_gram_rect_impl(

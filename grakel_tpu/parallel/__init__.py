@@ -11,13 +11,14 @@ MXU GEMM with one ICI hop.
 
 from .mesh import make_mesh, local_mesh, distributed_init
 from .gram import (ring_gram, ring_rect_gram, sharded_counts_gram,
-                   shard_batch)
+                   sharded_counts_gram_rect, shard_batch)
 from .wl import distributed_wl_gram
 from .large_graph import (edge_partitioned_wl_features,
                           large_graph_wl_gram, LargeGraphWL)
 
 __all__ = ["make_mesh", "local_mesh", "distributed_init", "ring_gram",
            "ring_rect_gram", "sharded_counts_gram",
+           "sharded_counts_gram_rect",
            "shard_batch", "distributed_wl_gram",
            "edge_partitioned_wl_features", "large_graph_wl_gram",
            "LargeGraphWL"]

