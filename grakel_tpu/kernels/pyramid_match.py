@@ -320,36 +320,58 @@ class PyramidMatch(Kernel):
             k += w * ((L - p) * I[p] - (L - p - 1) * I[p + 1])
         return k
 
+    # expanded-key width beyond which the sparse Gram assembles on host
+    # (WL-PM generations mint ~1 unique key per item — >97% singleton
+    # columns measured on ENZYMES h=5 — so the chunked device GEMM is
+    # >99% padding FLOPs; a scipy CSR product is ~100x cheaper there)
+    _SPARSE_HOST_MIN_W = 4096
+
     def _sparse_gram(self, px, py=None):
         """Fused all-level weighted counts-GEMM (see module docstring)."""
         sqrt_c = np.sqrt(self._level_coeffs())
 
-        def weights(p):
+        def weights(p, dtype=np.float32):
             return sqrt_c[(p["ekeys"] >> 60).astype(np.int64)].astype(
-                np.float32) if p["ekeys"].size else np.zeros(0, np.float32)
+                dtype) if p["ekeys"].size else np.zeros(0, dtype)
 
+        from ..ops.gram import active_mesh
+        keys = np.unique(px["ekeys"])
+        W = max(len(keys), 1)
+        host = W >= self._SPARSE_HOST_MIN_W and active_mesh() is None
         if py is None:
-            keys = np.unique(px["ekeys"])
             eids = np.searchsorted(keys, px["ekeys"])
+            if host:
+                import scipy.sparse as sp
+                C = sp.csr_matrix(
+                    (weights(px, np.float64), (px["gids"], eids)),
+                    shape=(px["n"], W))
+                return np.asarray((C @ C.T).toarray())
             valid = np.ones(eids.shape[0], bool)
             K = fetch_gram(coo_counts_gram(
-                px["gids"], eids, weights(px), valid, px["n"],
-                max(len(keys), 1)))
+                px["gids"], eids, weights(px), valid, px["n"], W))
             return np.asarray(K, np.float64)
         # rect: enumerate over the FIT side; unseen keys drop (exact —
         # min(a, 0) = 0, and this subsumes the reference's width
         # truncation)
-        keys = np.unique(px["ekeys"])
         eids_x = np.searchsorted(keys, px["ekeys"])
         pos = np.searchsorted(keys, py["ekeys"])
         pos_c = np.minimum(pos, max(len(keys) - 1, 0))
         hit = (keys[pos_c] == py["ekeys"]) if len(keys) else \
             np.zeros(py["ekeys"].shape[0], bool)
+        if host:
+            import scipy.sparse as sp
+            Cx = sp.csr_matrix(
+                (weights(px, np.float64), (px["gids"], eids_x)),
+                shape=(px["n"], W))
+            wy = weights(py, np.float64)[hit]
+            Cy = sp.csr_matrix(
+                (wy, (py["gids"][hit], pos_c[hit])), shape=(py["n"], W))
+            return np.asarray((Cy @ Cx.T).toarray())
         valid_x = np.ones(eids_x.shape[0], bool)
         K = fetch_gram(coo_counts_gram_rect(
             py["gids"], pos_c, weights(py), hit,
             px["gids"], eids_x, weights(px), valid_x,
-            py["n"], px["n"], max(len(keys), 1)))
+            py["n"], px["n"], W))
         return np.asarray(K, np.float64)
 
     def _gram(self, px, py=None):

@@ -89,3 +89,12 @@ def test_pyramid_match_sparse_matches_dense():
         Ts = ks2.transform(graphs[16:])
         np.testing.assert_allclose(Kd, Ks, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(Td, Ts, rtol=1e-4, atol=1e-4)
+        # host CSR assembly branch (wide singleton-dominated key spaces,
+        # the WL-PM regime) must agree with the device counts-GEMM
+        kh = PyramidMatch(**kw)
+        kh._DENSE_MAX_W = 0
+        kh._SPARSE_HOST_MIN_W = 0
+        Kh = kh.fit_transform(graphs[:16])
+        Th = kh.transform(graphs[16:])
+        np.testing.assert_allclose(Kh, Ks, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(Th, Ts, rtol=1e-4, atol=1e-4)
