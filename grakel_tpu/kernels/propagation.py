@@ -48,6 +48,36 @@ def _dot(x, y):
     return sum(x[k] * y[k] for k in x.keys() & y.keys())
 
 
+def _row_l1_normalize(T):
+    """Row-l1-normalize dense or CSR without per-graph sklearn
+    validation overhead (measured: sklearn ``normalize`` costs ~14 s of
+    pure ``check_array`` bookkeeping over the 11929 REDDIT-M-12K
+    graphs).  Matches ``sklearn.preprocessing.normalize(..., 'l1')``:
+    zero rows stay zero."""
+    import scipy.sparse as sp
+    if sp.issparse(T):
+        T = T.tocsr(copy=True)
+        rs = np.asarray(np.abs(T).sum(axis=1)).ravel()
+        scale = np.where(rs > 0, 1.0 / np.where(rs > 0, rs, 1.0), 0.0)
+        T.data = T.data * np.repeat(scale, np.diff(T.indptr))
+        return T
+    T = np.asarray(T, dtype=np.float64)
+    rs = np.abs(T).sum(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(rs > 0, T / np.where(rs > 0, rs, 1.0), 0.0)
+    return out
+
+
+def _bag_counter(bag_t):
+    """Round entry -> Counter (entries are stored as (vals, cnts) array
+    pairs on the fast paths; Counters appear only on the transform
+    unseen-label branch)."""
+    if isinstance(bag_t, Counter):
+        return bag_t
+    vals, cnts = bag_t
+    return Counter(dict(zip(vals.tolist(), cnts.tolist())))
+
+
 class Propagation(Kernel):
     """Label propagation kernel (M in {'H', 'TV'})."""
 
@@ -108,18 +138,44 @@ class Propagation(Kernel):
                 if T.shape[0] != g.n:
                     raise TypeError("Propagation matrix must have the same "
                                     "dimension as the number of vertices.")
-            else:
-                # sparse COO -> CSR: never densify the adjacency (a
-                # dense [n, n] float64 per graph is the host-OOM shape
-                # at REDDIT-M-12K dataset scale)
-                import scipy.sparse as sp
-                T = sp.csr_matrix(
-                    (g.weights.astype(np.float64),
-                     (g.senders, g.receivers)), shape=(g.n, g.n))
-            out.append((g, normalizer(T, axis=1, norm="l1")))
+                T = _row_l1_normalize(T)
+            # T is None for the common case: the block-diagonal global
+            # transition is assembled once in _block_transition (a csr +
+            # sklearn-normalize per graph cost ~12 s over the 11929
+            # REDDIT-M-12K graphs)
+            out.append((g, T))
         if len(out) == 0:
             raise ValueError("Parsed input is empty")
         return out
+
+    @staticmethod
+    def _block_transition(graphs, offsets):
+        """ONE row-l1-normalized block-diagonal CSR over the whole
+        dataset; per-round propagation is then a single SpMM instead of
+        an 11929-iteration python loop."""
+        import scipy.sparse as sp
+        N = int(offsets[-1])
+        rows, cols, data = [], [], []
+        for k, (g, T) in enumerate(graphs):
+            lo = int(offsets[k])
+            if T is None:
+                rows.append(g.senders.astype(np.int64) + lo)
+                cols.append(g.receivers.astype(np.int64) + lo)
+                data.append(g.weights.astype(np.float64))
+            else:
+                Ts = sp.coo_matrix(T)
+                rows.append(Ts.row.astype(np.int64) + lo)
+                cols.append(Ts.col.astype(np.int64) + lo)
+                data.append(Ts.data.astype(np.float64))
+        Tb = sp.csr_matrix(
+            (np.concatenate(data) if data else np.zeros(0),
+             (np.concatenate(rows) if rows else np.zeros(0, np.int64),
+              np.concatenate(cols) if cols else np.zeros(0, np.int64))),
+            shape=(N, N))
+        # user-supplied T blocks arrive pre-normalized; re-normalizing
+        # the full block matrix is idempotent for them and performs the
+        # adjacency normalization for the rest
+        return _row_l1_normalize(Tb)
 
     def _lsh(self, X, u, b):
         if not self.attr_ and self.take_sqrt_:
@@ -146,20 +202,29 @@ class Propagation(Kernel):
         return self.w * self.random_state_.rand()
 
     @staticmethod
-    def _propagate(P, transition, offsets):
-        nxt = np.empty_like(P)
-        for k, T in enumerate(transition):
-            lo, hi = offsets[k], offsets[k + 1]
-            nxt[lo:hi] = T @ P[lo:hi]
-        return nxt
+    def _propagate(P, transition, offsets=None):
+        """P <- T_block @ P (transition is the block-diagonal CSR)."""
+        return transition @ P
 
     @staticmethod
     def _bag(bags, ids, offsets, t):
-        """Per-graph multiset of bucket ids for round ``t``."""
-        for k in range(len(bags)):
-            seg = ids[offsets[k]:offsets[k + 1]]
-            vals, cnt = np.unique(seg, return_counts=True)
-            bags[k][t] = Counter(dict(zip(vals.tolist(), cnt.tolist())))
+        """Per-graph multiset of bucket ids for round ``t``, stored as
+        (vals, cnts) int arrays — ONE composite-key np.unique over all
+        nodes instead of a per-graph python loop (the loop + Counter
+        construction was ~6 s of the 12K-dataset wall)."""
+        n = len(bags)
+        ids = np.asarray(ids, np.int64)
+        gid = np.repeat(np.arange(n, dtype=np.int64),
+                        np.diff(offsets).astype(np.int64))
+        width = int(ids.max()) + 1 if ids.size else 1
+        key = gid * width + ids
+        uk, cnt = np.unique(key, return_counts=True)
+        kg = uk // width
+        kv = uk % width
+        starts = np.searchsorted(kg, np.arange(n + 1))
+        for k in range(n):
+            sl = slice(starts[k], starts[k + 1])
+            bags[k][t] = (kv[sl], cnt[sl])
 
     @staticmethod
     def _ids_extending(hd, codes):
@@ -205,9 +270,9 @@ class Propagation(Kernel):
             raise ValueError("input must be an iterable\n")
         graphs = self._parse_graphs(X)
         n = len(graphs)
-        transition = [T for _, T in graphs]
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum([g.n for g, _ in graphs], out=offsets[1:])
+        transition = self._block_transition(graphs, offsets)
 
         col_of, per_graph = self._label_columns(graphs)
         width = len(col_of)
@@ -293,24 +358,33 @@ class Propagation(Kernel):
         return bags
 
     # ------------------------------------------------------------------ #
-    def _stream(self, parsed, key_enum, extend=True):
-        """Counter dicts -> COO (gid, key_id, weight) stream."""
-        gids, keys, wts = [], [], []
+    @staticmethod
+    def _stream(parsed):
+        """Bag entries -> raw COO (gid, composite (t, h) int64 key,
+        weight) arrays.  Vectorized: per-(graph, round) (vals, cnts)
+        arrays concatenate flat (the per-item python dict loop here was
+        ~8 s at REDDIT-M-12K scale).  Key ids are assigned by the
+        caller with one np.unique — any bijection works, it only has to
+        be shared between the X and Y streams of one Gram."""
+        gl, kl, wl = [], [], []
         for gi, phi in enumerate(parsed):
-            for t, counter in phi.items():
-                for h, c in counter.items():
-                    k = (t, h)
-                    ki = key_enum.get(k)
-                    if ki is None:
-                        if not extend:
-                            continue
-                        ki = len(key_enum)
-                        key_enum[k] = ki
-                    gids.append(gi)
-                    keys.append(ki)
-                    wts.append(float(c))
-        return (np.asarray(gids, np.int32), np.asarray(keys, np.int32),
-                np.asarray(wts, np.float32))
+            for t, bag_t in phi.items():
+                if isinstance(bag_t, Counter):
+                    vals = np.fromiter(bag_t.keys(), np.int64,
+                                       len(bag_t))
+                    cnts = np.fromiter(bag_t.values(), np.float64,
+                                       len(bag_t))
+                else:
+                    vals, cnts = bag_t
+                gl.append(np.full(len(vals), gi, np.int32))
+                kl.append(np.asarray(vals, np.int64)
+                          + (np.int64(t) << np.int64(40)))
+                wl.append(cnts)
+        if not gl:
+            return (np.zeros(0, np.int32), np.zeros(0, np.int64),
+                    np.zeros(0, np.float32))
+        return (np.concatenate(gl), np.concatenate(kl),
+                np.concatenate(wl).astype(np.float32))
 
     @staticmethod
     def _pad(g, k, w):
@@ -334,15 +408,23 @@ class Propagation(Kernel):
                       "engages for the default dot metric)"
                       % type(self).__name__, file=sys.stderr)
             return None  # custom metric -> host pairwise fallback
-        enum = {}
-        gx, kx, wx = self._stream(px, enum)
+        gx, cx, wx = self._stream(px)
+        keys = np.unique(cx)
+        kx = np.searchsorted(keys, cx).astype(np.int32)
         if py is None:
             g, k, w, v = self._pad(gx, kx, wx)
-            L = bucket_size(max(len(enum), 1))
+            L = bucket_size(max(len(keys), 1))
             return fetch_gram(coo_counts_gram(g, k, w, v, len(px), L))
-        gy, ky, wy = self._stream(py, enum)
-        L = bucket_size(max(len(enum), 1))
-        ga, ka, wa, va = self._pad(gy, ky, wy)
+        # rect: ids over the FIT enumeration; transform-only keys drop
+        # (they cannot match any fit column)
+        gy, cy, wy = self._stream(py)
+        pos = np.searchsorted(keys, cy)
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (keys[pos_c] == cy) if len(keys) else \
+            np.zeros(len(cy), bool)
+        L = bucket_size(max(len(keys), 1))
+        ga, ka, wa, va = self._pad(gy[hit], pos_c[hit].astype(np.int32),
+                                   wy[hit])
         gb, kb, wb, vb = self._pad(gx, kx, wx)
         return fetch_gram(coo_counts_gram_rect(
             ga, ka, wa, va, gb, kb, wb, vb, len(py), len(px), L))
@@ -350,14 +432,16 @@ class Propagation(Kernel):
     def _diag(self, parsed):
         if self.metric is not _dot:
             return None
-        enum = {}
-        g, k, w = self._stream(parsed, enum)
+        g, c, w = self._stream(parsed)
+        keys = np.unique(c)
+        k = np.searchsorted(keys, c).astype(np.int32)
         gg, kk, ww, vv = self._pad(g, k, w)
-        L = bucket_size(max(len(enum), 1))
+        L = bucket_size(max(len(keys), 1))
         return np.asarray(counts_diag(gg, kk, ww, vv, len(parsed), L))
 
     def pairwise_operation(self, x, y):
-        return sum(self.metric(x[t], y[t]) for t in range(self.t_max))
+        return sum(self.metric(_bag_counter(x[t]), _bag_counter(y[t]))
+                   for t in range(self.t_max))
 
 
 class PropagationAttr(Propagation):
@@ -380,9 +464,9 @@ class PropagationAttr(Propagation):
             raise ValueError("input must be an iterable\n")
         graphs = self._parse_graphs(X)
         n = len(graphs)
-        transition = [T for _, T in graphs]
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum([g.n for g, _ in graphs], out=offsets[1:])
+        transition = self._block_transition(graphs, offsets)
 
         blocks = []
         for g, _ in graphs:
