@@ -130,6 +130,33 @@ def _pair_spectral(ux, wx, uy, wy, lamda, mu, exponential):
     return (ux ** 2) @ F @ (uy ** 2)
 
 
+@functools.partial(jax.jit, static_argnames=("lamda",))
+def _rw_spectral_tile(sx2, mx, sy2, my, lamda):
+    """Exact geometric RW tile: K[a, b] = sum_ij sx2[a,i] sy2[b,j]
+    / (1 - lamda mx[a,i] my[b,j]).
+
+    The closed form of ``ones^T (I - lamda Ax (x) Ay)^{-1} ones`` in the
+    joint eigenbasis (Ax symmetric, Ax = U diag(mu) U^T, s = U^T 1) —
+    what the reference's 20-iteration CG approximates
+    (random_walk.py:255-272).  Padded eigenpairs carry s = 0 and
+    contribute nothing.  fori_loop over the row eigenindex keeps the
+    broadcast buffer at [Bx, By, V2]."""
+    Bx, V1 = mx.shape
+
+    def body(i, acc):
+        den = 1.0 - lamda * mx[:, i][:, None, None] * my[None, :, :]
+        term = jnp.sum(sy2[None, :, :] / den, axis=2)    # [Bx, By]
+        return acc + sx2[:, i][:, None] * term
+
+    return jax.lax.fori_loop(
+        0, V1, body, jnp.zeros((Bx, my.shape[0]), jnp.float32))
+
+
+@jax.jit
+def _rw_moment_gram(phi):
+    return jnp.dot(phi, phi.T, preferred_element_type=jnp.float32)
+
+
 def _kron(Ax, Ay):
     V1, V2 = Ax.shape[0], Ay.shape[0]
     return (Ax[:, None, :, None] * Ay[None, :, None, :]).reshape(V1 * V2,
@@ -272,14 +299,101 @@ class RandomWalk(Kernel):
                 w, v = np.linalg.eig(A)
                 item["u"] = np.real(np.sum(v, axis=0)).astype(np.float32)
                 item["w"] = np.real(w).astype(np.float32)
+            elif (self.method_type == "fast" and not self._labeled
+                    and self.p is None and self.kernel_type == "geometric"
+                    and item["A"].size
+                    and np.array_equal(item["A"], item["A"].T)):
+                # symmetric adjacency: the geometric kernel has the exact
+                # closed form sum_ij s_i^2 t_j^2 / (1 - lamda mu_i nu_j)
+                # — evaluated batched instead of one CG per pair
+                w, v = np.linalg.eigh(item["A"])
+                item["s2"] = (np.sum(v, axis=0) ** 2).astype(np.float32)
+                item["mu"] = w.astype(np.float32)
             out.append(item)
         return out
 
     # ------------------------------------------------------------------ #
+    # graph tiles per device dispatch on the batched spectral path
+    _SPEC_TILE = 256
+
+    def _spectral_gram(self, rows, cols, symmetric):
+        """Batched exact geometric Gram from per-graph (s2, mu).
+
+        Two regimes by the worst-case series ratio
+        rho = lamda * (max |mu|)^2:
+
+        * rho <= 0.9 — moment features: k = sum_k lamda^k m_x[k] m_y[k]
+          with m[k] = sum_i s_i^2 mu_i^k; ONE feature GEMM.
+        * else — tiled rational evaluation (_rw_spectral_tile)."""
+        mu_max = max(float(np.max(np.abs(it["mu"]))) if it["mu"].size
+                     else 0.0 for it in list(rows) + list(cols))
+        rho = self.lamda * mu_max * mu_max
+        if rho <= 0.9:
+            K_terms = int(min(64, max(
+                8, np.ceil(np.log(1e-9) / np.log(max(rho, 1e-9))))))
+            sq = np.sqrt(self.lamda)
+
+            def feats(items):
+                # power (sqrt(lamda) * mu)^k, |.| <= sqrt(rho) < 1:
+                # bounded for every k (raw mu^k overflows f32 by k~40)
+                P = np.zeros((len(items), K_terms), np.float64)
+                for a, it in enumerate(items):
+                    m = sq * np.asarray(it["mu"], np.float64)
+                    s2 = np.asarray(it["s2"], np.float64)
+                    mk = np.ones_like(m)
+                    for k in range(K_terms):
+                        P[a, k] = s2 @ mk
+                        mk = mk * m
+                return P
+            Pr = feats(rows)
+            Pc = Pr if symmetric else feats(cols)
+            return np.asarray(Pr @ Pc.T)
+
+        def grouped(items):
+            g = {}
+            for idx, it in enumerate(items):
+                g.setdefault(_bucket(it["n"]), []).append(idx)
+            return g
+        gr, gc = grouped(rows), grouped(cols)
+        K = np.zeros((len(rows), len(cols)), np.float64)
+
+        def packed(items, idxs, V):
+            s2 = np.zeros((len(idxs), V), np.float32)
+            mu = np.zeros((len(idxs), V), np.float32)
+            for a, i in enumerate(idxs):
+                n = items[i]["n"]
+                s2[a, :n] = items[i]["s2"]
+                mu[a, :n] = items[i]["mu"]
+            return s2, mu
+        T = self._SPEC_TILE
+        for V1, ridx in gr.items():
+            for V2, cidx in gc.items():
+                for r0 in range(0, len(ridx), T):
+                    rs = ridx[r0:r0 + T]
+                    s2r, mur = packed(rows, rs, V1)
+                    for c0 in range(0, len(cidx), T):
+                        cs = cidx[c0:c0 + T]
+                        if (symmetric and V1 == V2
+                                and cs[-1] < rs[0]):
+                            continue  # mirror fills it
+                        s2c, muc = packed(cols, cs, V2)
+                        tile = np.asarray(_rw_spectral_tile(
+                            s2r, mur, s2c, muc, float(self.lamda)))
+                        K[np.ix_(rs, cs)] = tile
+        if symmetric:
+            # skipped same-bucket lower-triangle tiles fill by mirror
+            iu = np.triu_indices(len(rows), 1)
+            K[(iu[1], iu[0])] = K[iu]
+        return K
+
     def _gram(self, px, py=None):
         symmetric = py is None
         rows = px if symmetric else py
         cols = px
+        if (not self._labeled and self.method_type == "fast"
+                and self.p is None and self.kernel_type == "geometric"
+                and all("s2" in it for it in list(rows) + list(cols))):
+            return self._spectral_gram(rows, cols, symmetric)
         if self._labeled:
             enum = {}
             for it in list(rows) + ([] if symmetric else list(cols)):

@@ -314,3 +314,34 @@ def test_pm_device_embeddings_match_scipy():
     finally:
         PyramidMatch._DEVICE_EMBED_MIN_N = old
     np.testing.assert_allclose(K_dev, K_host, rtol=1e-6, atol=1e-8)
+
+
+def test_random_walk_spectral_matches_cg():
+    """The batched spectral closed form (moment features / rational
+    tiles) must agree with the per-pair CG path it replaced, in both
+    the converging (sparse) and non-converging-series (dense) regimes."""
+    import numpy as np
+    from grakel_tpu import RandomWalk
+
+    rng = np.random.RandomState(11)
+    for p_edge, lam in ((0.15, 0.05), (0.6, 0.01)):
+        graphs = []
+        for i in range(14):
+            n = rng.randint(5, 14)
+            A = (rng.rand(n, n) < p_edge).astype(float)
+            A = np.triu(A, 1)
+            A = A + A.T
+            graphs.append([A, {v: 0 for v in range(n)}, {}])
+        k = RandomWalk(lamda=lam)
+        K_spec = k.fit_transform(graphs)
+        assert all("s2" in it for it in k.X)  # spectral path engaged
+        k2 = RandomWalk(lamda=lam)
+        k2.fit(graphs)
+        for it in k2.X:
+            it.pop("s2", None)
+            it.pop("mu", None)
+        K_cg = k2._compute_symmetric(k2.X)
+        np.testing.assert_allclose(K_spec, K_cg, rtol=5e-3, atol=1e-2)
+        # rect transform path
+        Kt = RandomWalk(lamda=lam).fit(graphs[:9]).transform(graphs[9:])
+        assert Kt.shape == (5, 9) and np.isfinite(Kt).all()
