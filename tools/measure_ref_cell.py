@@ -70,6 +70,22 @@ def ref_kernels():
     }
 
 
+def _to_ref_format(data):
+    """grakel_tpu Graph items -> the reference's [edge_set, node_labels,
+    edge_labels] format (the heavy-tailed bench datasets load as native
+    Graph objects; the reference parses its own formats)."""
+    from grakel_tpu.graph import Graph as TG
+    out = []
+    for it in data:
+        if isinstance(it, TG):
+            edges = {(int(s), int(r))
+                     for s, r in zip(it.senders, it.receivers)}
+            out.append([edges, dict(it.node_labels), {}])
+        else:
+            out.append(it)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cell", required=True, help="KERNEL/DATASET")
@@ -81,6 +97,7 @@ def main():
     import_reference_grakel()
     kfact = ref_kernels()[kname]
     data = fb.load(dname, features=fb.FEATURE_OVERRIDE.get(kname))
+    data = _to_ref_format(data)
 
     merged = {}
     if os.path.exists(OUT):
