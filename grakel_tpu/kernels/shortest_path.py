@@ -512,6 +512,92 @@ class ShortestPath(Kernel):
         p["counts"][key] = C
         return C
 
+    # ------------------------------------------------------------------ #
+    def _bfs_counts_coo(self, p, L, D):
+        """Host COO triplet-count stream via the native batched-BFS
+        engine (native/src/sp_bfs.cpp) — unit-weight graphs only; ids in
+        the device encoding (lu*L+lv)*D+d.  Returns (gids, ids, counts)
+        or None without the native library."""
+        from ..native import sp_bfs_counts_native, have_native
+        if not have_native():
+            return None
+        key = (L, D)
+        cached = p.setdefault("bfs_coo", {}).get(key)
+        if cached is not None:
+            return cached
+        n = p["n"]
+        per = [None] * n
+        for idxs, Ab, Lb, M in p["buckets"]:
+            for bi, gi in enumerate(idxs):
+                m = int(M[bi].sum())
+                if p.get("stream"):
+                    s, r, _w = Ab[bi]
+                else:
+                    s, r = np.nonzero(Ab[bi])
+                per[int(gi)] = (m, s, r, Lb[bi, :m])
+        node_off = np.zeros(n + 1, np.int64)
+        node_off[1:] = np.cumsum([it[0] for it in per])
+        N = int(node_off[-1])
+        deg_off = np.zeros(N + 1, np.int64)
+        adjs = []
+        labs = np.zeros(N, np.int32)
+        for gi, (m, s, r, lb) in enumerate(per):
+            lo = int(node_off[gi])
+            if m:
+                labs[lo:lo + m] = lb
+            cnt = np.bincount(np.asarray(s, np.int64), minlength=m)
+            deg_off[lo + 1:lo + m + 1] = cnt
+            order = np.argsort(s, kind="stable")
+            adjs.append(np.asarray(r, np.int32)[order])
+        adj_off = np.cumsum(deg_off)
+        adj = (np.concatenate(adjs) if adjs else np.zeros(0, np.int32))
+        out = sp_bfs_counts_native(node_off, adj_off, adj, labs, L, D)
+        if out is not None:
+            p["bfs_coo"][key] = out
+        return out
+
+    def _bfs_gram(self, px, py, L, D):
+        """Symmetric/rect Gram from native BFS count streams with host
+        key compaction (the sparse observed-key space replaces the
+        full L*L*D width); None when the native engine is absent."""
+        cx = self._bfs_counts_coo(px, L, D)
+        if cx is None:
+            return None
+        gx, kx, wx = cx
+        if py is None:
+            keys = np.unique(kx)
+            ids = np.searchsorted(keys, kx).astype(np.int32)
+            ones = np.ones(len(gx), bool)
+            K = fetch_gram(coo_counts_gram(
+                gx, ids, wx.astype(np.float32), ones, px["n"],
+                max(len(keys), 1)))
+            return np.asarray(K)
+        cy = self._bfs_counts_coo(py, L, D)
+        if cy is None:
+            return None
+        gy, ky, wy = cy
+        keys = np.unique(kx)            # fit-side key space
+        ids_x = np.searchsorted(keys, kx).astype(np.int32)
+        pos = np.searchsorted(keys, ky)
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (keys[pos_c] == ky) if len(keys) else \
+            np.zeros(len(ky), bool)
+        W = max(len(keys), 1)
+        K = fetch_gram(coo_counts_gram_rect(
+            gy, pos_c.astype(np.int32), wy.astype(np.float32), hit,
+            gx, ids_x, wx.astype(np.float32),
+            np.ones(len(gx), bool), py["n"], px["n"], W))
+        self._Y_diag_cache = self._bfs_diag(py, L, D)
+        return np.asarray(K)
+
+    def _bfs_diag(self, p, L, D):
+        c = self._bfs_counts_coo(p, L, D)
+        if c is None:
+            return None
+        g, _k, w = c
+        return np.bincount(g, weights=w.astype(np.float64) ** 2,
+                           minlength=p["n"])[:p["n"]]
+
     def _gram(self, px, py=None):
         from ..ops.gram import chunk_plan
         if px.get("stream") or (py is not None and py.get("stream")):
@@ -519,6 +605,10 @@ class ShortestPath(Kernel):
                 *([px] if py is None else [px, py]))
             D = int(px["max_V"] if py is None
                     else max(px["max_V"], py["max_V"]))
+            if ok:
+                K = self._bfs_gram(px, py, L, D)
+                if K is not None:
+                    return K
             if (ok and L * L * D <= self._DIRECT_MAX_WIDTH
                     and self._counts_ok(L * L * D, px,
                                         *([] if py is None else [py]))):
@@ -665,6 +755,10 @@ class ShortestPath(Kernel):
         if parsed.get("stream"):
             ok, L = self._direct_eligible(parsed)
             D = int(parsed["max_V"])
+            if ok:
+                d = self._bfs_diag(parsed, L, D)
+                if d is not None:
+                    return d
             if (ok and L * L * D <= self._DIRECT_MAX_WIDTH
                     and self._counts_ok(L * L * D, parsed)):
                 # sum_f c^2 is encoding-invariant: any cached (L, D)

@@ -18,7 +18,8 @@ import numpy as np
 
 __all__ = ["clique_values", "ap_hash_batch", "connected_subsets_native",
            "nspd_hash_graph", "canonical_labeling_native",
-           "odd_sth_decompose_native", "have_native"]
+           "odd_sth_decompose_native", "sp_bfs_counts_native",
+           "have_native"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src")
@@ -33,7 +34,8 @@ def _build():
             os.path.join(_SRC, "consubg.cpp"),
             os.path.join(_SRC, "nspd.cpp"),
             os.path.join(_SRC, "canonical.cpp"),
-            os.path.join(_SRC, "odd_sth.cpp")]
+            os.path.join(_SRC, "odd_sth.cpp"),
+            os.path.join(_SRC, "sp_bfs.cpp")]
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
            "-o", _LIB_PATH] + srcs
     try:
@@ -101,6 +103,14 @@ def _load():
         lib.odd_sth_decompose.restype = ctypes.c_int64
         lib.odd_sth_free.argtypes = [ctypes.c_void_p]
         lib.odd_sth_free.restype = None
+        lib.sp_bfs_counts.argtypes = [
+            ctypes.c_int, _i64, _i64, _i32, _i32,
+            ctypes.c_longlong, ctypes.c_longlong,
+            _pp(_pp(ctypes.c_int32)), _pp(_pp(ctypes.c_int64)),
+            _pp(_pp(ctypes.c_int64)), _pp(ctypes.c_int64)]
+        lib.sp_bfs_counts.restype = ctypes.c_int64
+        lib.sp_bfs_free.argtypes = [ctypes.c_void_p]
+        lib.sp_bfs_free.restype = None
         _lib = lib
     except Exception:  # pragma: no cover - no compiler / load failure
         _lib = None
@@ -291,6 +301,47 @@ def odd_sth_decompose_native(node_off, adj_off, adj, label_codes,
         for p in (pha, phb, pC, pnode, pgraph, pfreq):
             lib.odd_sth_free(p)
     return ha, hb, C, node, graph, freq
+
+
+def sp_bfs_counts_native(node_off, adj_off, adj, labels, L, D):
+    """Unit-weight APSP triplet counts via batched BFS (src/sp_bfs.cpp).
+
+    ``node_off`` int64[n_graphs+1], ``adj_off`` int64[total_nodes+1]
+    CSR offsets, ``adj`` int32 local neighbor indices, ``labels`` int32
+    label ids in [0, L).  Returns the aggregated COO stream
+    ``(gids int32, ids int64, counts int64)`` with the device id
+    encoding ``(lu * L + lv) * D + d`` — or None when no native library
+    is available.  Raises if any distance reaches ``D``."""
+    lib = _load()
+    if lib is None:
+        return None
+    node_off = np.ascontiguousarray(node_off, np.int64)
+    adj_off = np.ascontiguousarray(adj_off, np.int64)
+    adj = np.ascontiguousarray(adj, np.int32)
+    if adj.size == 0:
+        adj = np.zeros(1, np.int32)
+    labels = np.ascontiguousarray(labels, np.int32)
+    if labels.size == 0:
+        labels = np.zeros(1, np.int32)
+    pg = ctypes.POINTER(ctypes.c_int32)()
+    pk = ctypes.POINTER(ctypes.c_int64)()
+    pc = ctypes.POINTER(ctypes.c_int64)()
+    nnz = ctypes.c_int64(0)
+    rc = lib.sp_bfs_counts(len(node_off) - 1, node_off, adj_off, adj,
+                           labels, int(L), int(D),
+                           ctypes.byref(pg), ctypes.byref(pk),
+                           ctypes.byref(pc), ctypes.byref(nnz))
+    if rc != 0:
+        raise ValueError("sp_bfs_counts: distance reached D")
+    try:
+        m = int(nnz.value)
+        gids = np.ctypeslib.as_array(pg, shape=(max(m, 1),))[:m].copy()
+        ids = np.ctypeslib.as_array(pk, shape=(max(m, 1),))[:m].copy()
+        cnts = np.ctypeslib.as_array(pc, shape=(max(m, 1),))[:m].copy()
+    finally:
+        for p in (pg, pk, pc):
+            lib.sp_bfs_free(p)
+    return gids, ids, cnts
 
 
 def clique_values(cv, ce, kmax):

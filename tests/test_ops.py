@@ -45,3 +45,52 @@ def test_shortest_path_sparse_gram_path():
     k2._SPARSE_GRAM_MIN_REP = 0   # force host sparse assembly
     K2 = k2.fit_transform(graphs)
     np.testing.assert_allclose(K1, K2, rtol=1e-5, atol=1e-5)
+
+
+def test_shortest_path_stream_bfs_matches_dense():
+    """Streaming-mode SP through the native BFS-APSP counts engine
+    (and through the device FW path with the engine disabled) must
+    equal the dense-mode Gram — fit, rect transform, and diagonal."""
+    import numpy as np
+    import pytest
+    import grakel_tpu.native as native_mod
+    from grakel_tpu.kernels import ShortestPath
+
+    rng = np.random.RandomState(3)
+    for labeled in (True, False):
+        gs = []
+        for i in range(28):
+            n = rng.randint(5, 18)
+            A = (rng.rand(n, n) < 0.25).astype(float)
+            A = np.triu(A, 1)
+            A = A + A.T
+            nl = {v: int(rng.randint(0, 3)) for v in range(n)} \
+                if labeled else {v: 0 for v in range(n)}
+            gs.append([A, nl, {}])
+        kd = ShortestPath(with_labels=labeled)
+        Kd = kd.fit_transform(gs[:20])
+        Td = kd.transform(gs[20:])
+        dd = kd.diagonal()
+
+        ks = ShortestPath(with_labels=labeled)
+        ks._STREAM_BYTES = 0        # force streaming parse
+        Ks = ks.fit_transform(gs[:20])
+        Ts = ks.transform(gs[20:])
+        ds = ks.diagonal()
+        np.testing.assert_allclose(Ks, Kd, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(Ts, Td, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(ds[0], dd[0], rtol=1e-5)
+        if native_mod.have_native():
+            assert ks.X.get("bfs_coo"), "native BFS path not engaged"
+            # device-FW streaming path with the native engine off
+            orig = native_mod.have_native
+            native_mod.have_native = lambda: False
+            try:
+                kf = ShortestPath(with_labels=labeled)
+                kf._STREAM_BYTES = 0
+                np.testing.assert_allclose(kf.fit_transform(gs[:20]),
+                                           Kd, rtol=1e-5, atol=1e-5)
+                np.testing.assert_allclose(kf.transform(gs[20:]),
+                                           Td, rtol=1e-5, atol=1e-5)
+            finally:
+                native_mod.have_native = orig
