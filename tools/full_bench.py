@@ -514,7 +514,10 @@ def _load_heavy(name, hspec, features):
             hspec.get("edge_ratio", 1.0), seed=1234,
             cliquey=hspec.get("cliquey", False))
         ns = np.asarray([m for m, _s, _d in coo], np.int64)
-        labs = rng.randint(0, fd, int(ns.sum())).astype(np.int64)
+        if fk == "na":
+            labs = rng.rand(int(ns.sum()), fd)
+        else:
+            labs = rng.randint(0, fd, int(ns.sum())).astype(np.int64)
         try:
             os.makedirs(_CACHE_DIR, exist_ok=True)
             goff = np.concatenate([[0], np.cumsum(ns)])
@@ -546,9 +549,11 @@ def _load_heavy(name, hspec, features):
         m = int(ns[g])
         s = slice(int(eoff[g]), int(eoff[g + 1]))
         lv = labs[int(goff[g]):int(goff[g + 1])]
-        out.append(Graph.from_arrays(
-            m, src[s], dst[s], None,
-            {v: int(lv[v]) for v in range(m)}, {}))
+        if fk == "na":
+            nl = {v: lv[v].copy() for v in range(m)}
+        else:
+            nl = {v: int(lv[v]) for v in range(m)}
+        out.append(Graph.from_arrays(m, src[s], dst[s], None, nl, {}))
     return out
 
 
@@ -643,15 +648,20 @@ def main():
         "",
         "Gram-matrix wall seconds (min of 2 runs, compile excluded by the",
         "repeat) on one TPU v5e chip behind a network tunnel, on synthetic",
-        "datasets matching the published statistics (BASELINE.md §E;",
-        "REDDIT-B = 2000 graphs ~430 avg vertices, REDDIT-M-12K = 11929",
-        "graphs ~390 avg vertices — the scales where the reference",
-        "OOMs/TIMEOUTs on most kernels).",
+        "datasets matching the published statistics (BASELINE.md §E).",
+        "Since r5 the REDDIT-*/D&D/COLLAB stand-ins draw HEAVY-TAILED",
+        "lognormal sizes matched to the public medians/means/maxima",
+        "(REDDIT-B median 304 / mean 429.6 / max 3782; REDDIT-M-12K",
+        "280/391.4/3782; D&D 241/284.3/5748) with discussion-tree",
+        "(preferential-attachment + cross-link) structure, and COLLAB",
+        "near-clique communities — these are the scales where the",
+        "reference OOMs/TIMEOUTs on most kernels.",
         "Baseline = the reference's published single-thread CPU numbers",
-        "(BASELINE.md §A/§B, Xeon E7-4860 @2.27 GHz).  `--` = cell not",
-        "run or not published; OUT-OF-MEM/TIMEOUT = the reference failed",
-        "there (multiplier shown as inf); multipliers have one decimal",
-        "and cells where we LOSE are marked `SLOWER`.",
+        "(BASELINE.md §A/§B, Xeon E7-4860 @2.27 GHz); same-host same-data",
+        "reference measurements live in docs/ref_samehost.json.",
+        "`--` = cell not run or not published; OUT-OF-MEM/TIMEOUT = the",
+        "reference failed there (multiplier shown as inf); multipliers",
+        "have one decimal and cells where we LOSE are marked `SLOWER`.",
         "",
         "| Kernel | " + " | ".join(
             f"{d} ours | ref | x" for d in dnames) + " |",
