@@ -397,7 +397,12 @@ PLAN = [
     ("PK", list(_ALL_D)),
     ("PM", list(_ALL_D)),
     ("ODD-STh", list(_ALL_D)),
-    ("NSPDK", list(_ALL_D)),
+    # NSPDK REDDIT-* cells: documented skip — the heavy-tailed hub
+    # stand-ins put ~all vertex pairs within distance d=4, so the NSPD
+    # pair stream is ~3e9 items (the reference TIMEOUTs there too);
+    # see docs/stage_analysis.md "NSPDK at REDDIT scale"
+    ("NSPDK", ["MUTAG", "ENZYMES", "NCI1", "PTC-MR", "PROTEINS", "AIDS",
+               "DD", "IMDB-B", "IMDB-M", "COLLAB"]),
     ("WL-OA", ["MUTAG", "ENZYMES", "NCI1"]),
     ("CORE-WL", list(_ALL_D)),
     ("CORE-SP", ["MUTAG", "ENZYMES", "NCI1", "PTC-MR", "PROTEINS",
