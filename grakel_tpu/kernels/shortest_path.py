@@ -556,6 +556,12 @@ class ShortestPath(Kernel):
             p["bfs_coo"][key] = out
         return out
 
+    # observed-key width beyond which the BFS-count Gram assembles on
+    # host: WL-SP generations mint ~1 key per reachable pair (hundreds
+    # of millions on hub graphs) and shipping the padded stream to the
+    # device both wastes >99.9% of the chunked GEMM and can exceed HBM
+    _BFS_DEVICE_MAX_W = 1 << 20
+
     def _bfs_gram(self, px, py, L, D):
         """Symmetric/rect Gram from native BFS count streams with host
         key compaction (the sparse observed-key space replaces the
@@ -564,30 +570,43 @@ class ShortestPath(Kernel):
         if cx is None:
             return None
         gx, kx, wx = cx
+        keys = np.unique(kx)
+        W = max(len(keys), 1)
+        host = W > self._BFS_DEVICE_MAX_W
         if py is None:
-            keys = np.unique(kx)
-            ids = np.searchsorted(keys, kx).astype(np.int32)
+            ids = np.searchsorted(keys, kx)
+            if host:
+                return sparse_counts_gram(gx, ids, px["n"],
+                                          weights=wx.astype(np.float64))
             ones = np.ones(len(gx), bool)
             K = fetch_gram(coo_counts_gram(
-                gx, ids, wx.astype(np.float32), ones, px["n"],
-                max(len(keys), 1)))
+                gx, ids.astype(np.int32), wx.astype(np.float32), ones,
+                px["n"], W))
             return np.asarray(K)
         cy = self._bfs_counts_coo(py, L, D)
         if cy is None:
             return None
         gy, ky, wy = cy
-        keys = np.unique(kx)            # fit-side key space
-        ids_x = np.searchsorted(keys, kx).astype(np.int32)
+        # fit-side key space; transform-only keys drop (no fit column)
+        ids_x = np.searchsorted(keys, kx)
         pos = np.searchsorted(keys, ky)
         pos_c = np.minimum(pos, max(len(keys) - 1, 0))
         hit = (keys[pos_c] == ky) if len(keys) else \
             np.zeros(len(ky), bool)
-        W = max(len(keys), 1)
+        self._Y_diag_cache = self._bfs_diag(py, L, D)
+        if host:
+            import scipy.sparse as sp
+            Cx = sp.csr_matrix(
+                (wx.astype(np.float64), (gx, ids_x)),
+                shape=(px["n"], W))
+            Cy = sp.csr_matrix(
+                (wy[hit].astype(np.float64), (gy[hit], pos_c[hit])),
+                shape=(py["n"], W))
+            return np.asarray((Cy @ Cx.T).toarray())
         K = fetch_gram(coo_counts_gram_rect(
             gy, pos_c.astype(np.int32), wy.astype(np.float32), hit,
-            gx, ids_x, wx.astype(np.float32),
+            gx, ids_x.astype(np.int32), wx.astype(np.float32),
             np.ones(len(gx), bool), py["n"], px["n"], W))
-        self._Y_diag_cache = self._bfs_diag(py, L, D)
         return np.asarray(K)
 
     def _bfs_diag(self, p, L, D):

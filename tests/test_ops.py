@@ -75,6 +75,14 @@ def test_shortest_path_stream_bfs_matches_dense():
         ks = ShortestPath(with_labels=labeled)
         ks._STREAM_BYTES = 0        # force streaming parse
         Ks = ks.fit_transform(gs[:20])
+        # host sparse-assembly branch (huge observed-key spaces)
+        kh = ShortestPath(with_labels=labeled)
+        kh._STREAM_BYTES = 0
+        kh._BFS_DEVICE_MAX_W = 0
+        np.testing.assert_allclose(kh.fit_transform(gs[:20]), Kd,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(kh.transform(gs[20:]), Td,
+                                   rtol=1e-5, atol=1e-5)
         Ts = ks.transform(gs[20:])
         ds = ks.diagonal()
         np.testing.assert_allclose(Ks, Kd, rtol=1e-5, atol=1e-5)
