@@ -414,8 +414,13 @@ PLAN = [
                    "REDDIT-M-5K", "REDDIT-M-12K"]),
     ("GR", ["MUTAG", "NCI1", "IMDB-B", "IMDB-M", "COLLAB", "REDDIT-B",
             "REDDIT-M-5K", "REDDIT-M-12K"]),
+    # RW REDDIT-*: documented skip — at lamda=0.01 the walk series
+    # diverges on the hub stand-ins (lamda * mu_max^2 ~ 6) so neither
+    # the moment-GEMM nor a converging CG exists, and exact rational
+    # evaluation needs full eigh of 3.7k-vertex tails; the reference
+    # records TIMEOUT there (see docs/stage_analysis.md)
     ("RW", ["MUTAG", "ENZYMES", "NCI1", "PTC-MR", "PROTEINS", "AIDS",
-            "IMDB-B", "IMDB-M", "REDDIT-B"]),
+            "IMDB-B", "IMDB-M"]),
     ("SM", ["MUTAG", "ENZYMES", "NCI1", "PTC-MR", "IMDB-B"]),
     ("GH", ["MUTAG", "ENZYMES", "NCI1", "PTC-MR", "PROTEINS", "AIDS",
             "IMDB-B", "IMDB-M", "REDDIT-B", "REDDIT-M-12K"]),
