@@ -576,8 +576,14 @@ class ShortestPath(Kernel):
         if py is None:
             ids = np.searchsorted(keys, kx)
             if host:
-                return sparse_counts_gram(gx, ids, px["n"],
-                                          weights=wx.astype(np.float64))
+                K = sparse_counts_gram(gx, ids, px["n"],
+                                       weights=wx.astype(np.float64))
+                # drop the huge stream cache: WL-SP holds one fitted SP
+                # kernel per generation, and ~7e8-item streams x 6
+                # generations exhaust host memory.  transform recomputes
+                # it lazily (one more BFS pass).
+                px["bfs_coo"].clear()
+                return K
             ones = np.ones(len(gx), bool)
             K = fetch_gram(coo_counts_gram(
                 gx, ids.astype(np.int32), wx.astype(np.float32), ones,
