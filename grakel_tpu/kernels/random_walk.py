@@ -306,11 +306,33 @@ class RandomWalk(Kernel):
                 # symmetric adjacency: the geometric kernel has the exact
                 # closed form sum_ij s_i^2 t_j^2 / (1 - lamda mu_i nu_j)
                 # — evaluated batched instead of one CG per pair
-                w, v = np.linalg.eigh(item["A"])
-                item["s2"] = (np.sum(v, axis=0) ** 2).astype(np.float32)
-                item["mu"] = w.astype(np.float32)
+                if g.n <= self._EIG_MAX_N:
+                    w, v = np.linalg.eigh(item["A"])
+                    item["s2"] = (np.sum(v, axis=0) ** 2).astype(
+                        np.float32)
+                    item["mu"] = w.astype(np.float32)
+                else:
+                    # large graphs: moments m_k = 1^T A^k 1 come from
+                    # iterated matvecs (eigh is O(n^3)); mu_max via
+                    # power iteration gates series convergence
+                    A = np.asarray(item["A"], np.float64)
+                    v = np.ones(g.n) / np.sqrt(g.n)
+                    mu = 0.0
+                    for _ in range(40):
+                        v = A @ v
+                        nrm = np.linalg.norm(v)
+                        if nrm == 0:
+                            break
+                        mu = nrm
+                        v = v / nrm
+                    item["mu_max"] = float(mu)
+                    item["moments_only"] = True
             out.append(item)
         return out
+
+    # above this size, spectral data comes from matvec moments instead
+    # of a full eigendecomposition (parse_input)
+    _EIG_MAX_N = 512
 
     # ------------------------------------------------------------------ #
     # graph tiles per device dispatch on the batched spectral path
@@ -325,9 +347,15 @@ class RandomWalk(Kernel):
         * rho <= 0.9 — moment features: k = sum_k lamda^k m_x[k] m_y[k]
           with m[k] = sum_i s_i^2 mu_i^k; ONE feature GEMM.
         * else — tiled rational evaluation (_rw_spectral_tile)."""
-        mu_max = max(float(np.max(np.abs(it["mu"]))) if it["mu"].size
-                     else 0.0 for it in list(rows) + list(cols))
+        def item_mu_max(it):
+            if it.get("moments_only"):
+                return it["mu_max"]
+            return float(np.max(np.abs(it["mu"]))) if it["mu"].size \
+                else 0.0
+        mu_max = max(item_mu_max(it) for it in list(rows) + list(cols))
         rho = self.lamda * mu_max * mu_max
+        any_big = any(it.get("moments_only")
+                      for it in list(rows) + list(cols))
         if rho <= 0.9:
             K_terms = int(min(64, max(
                 8, np.ceil(np.log(1e-9) / np.log(max(rho, 1e-9))))))
@@ -338,6 +366,15 @@ class RandomWalk(Kernel):
                 # bounded for every k (raw mu^k overflows f32 by k~40)
                 P = np.zeros((len(items), K_terms), np.float64)
                 for a, it in enumerate(items):
+                    if it.get("moments_only"):
+                        # m_k = 1^T A^k 1 via iterated matvecs, with
+                        # sqrt(lamda) folded in to keep magnitudes flat
+                        A = np.asarray(it["A"], np.float64)
+                        u = np.ones(it["n"])
+                        for k in range(K_terms):
+                            P[a, k] = u.sum()
+                            u = sq * (A @ u)
+                        continue
                     m = sq * np.asarray(it["mu"], np.float64)
                     s2 = np.asarray(it["s2"], np.float64)
                     mk = np.ones_like(m)
@@ -348,6 +385,10 @@ class RandomWalk(Kernel):
             Pr = feats(rows)
             Pc = Pr if symmetric else feats(cols)
             return np.asarray(Pr @ Pc.T)
+        if any_big:
+            # diverging series with moments-only graphs: no rational
+            # evaluation possible without their spectra — pair CG path
+            return None
 
         def grouped(items):
             g = {}
@@ -392,8 +433,11 @@ class RandomWalk(Kernel):
         cols = px
         if (not self._labeled and self.method_type == "fast"
                 and self.p is None and self.kernel_type == "geometric"
-                and all("s2" in it for it in list(rows) + list(cols))):
-            return self._spectral_gram(rows, cols, symmetric)
+                and all("s2" in it or it.get("moments_only")
+                        for it in list(rows) + list(cols))):
+            K = self._spectral_gram(rows, cols, symmetric)
+            if K is not None:
+                return K
         if self._labeled:
             enum = {}
             for it in list(rows) + ([] if symmetric else list(cols)):

@@ -345,3 +345,26 @@ def test_random_walk_spectral_matches_cg():
         # rect transform path
         Kt = RandomWalk(lamda=lam).fit(graphs[:9]).transform(graphs[9:])
         assert Kt.shape == (5, 9) and np.isfinite(Kt).all()
+
+
+def test_random_walk_moments_path_matches_eigh():
+    """Above _EIG_MAX_N the spectral data comes from matvec moments
+    (1^T A^k 1) + power-iteration mu_max; must equal the eigh-based
+    moment features."""
+    import numpy as np
+    from grakel_tpu import RandomWalk
+    rng = np.random.RandomState(0)
+    gs = []
+    for i in range(5):
+        n = rng.randint(60, 90)
+        par = np.maximum(0, np.arange(1, n) - rng.randint(1, 5, n - 1))
+        A = np.zeros((n, n))
+        A[np.arange(1, n), par] = 1
+        A = A + A.T
+        gs.append([A, {v: 0 for v in range(n)}, {}])
+    k = RandomWalk(lamda=0.01)
+    k._EIG_MAX_N = 10              # force the moments-only path
+    K = k.fit_transform(gs)
+    assert all(it.get("moments_only") for it in k.X)
+    K2 = RandomWalk(lamda=0.01).fit_transform(gs)
+    np.testing.assert_allclose(K, K2, rtol=1e-4, atol=1e-6)
