@@ -623,7 +623,37 @@ class ShortestPath(Kernel):
         return np.bincount(g, weights=w.astype(np.float64) ** 2,
                            minlength=p["n"])[:p["n"]]
 
+    # total vertex-pair slots below which the WHOLE Gram (FW, triplet
+    # stream, counts-GEMM) runs on the XLA-CPU backend instead of the
+    # accelerator: small cells are dominated by per-dispatch round
+    # trips over the device link (~26 ms each), not compute — measured
+    # WL-SP/PTC-MR 18.7 s device vs ~1 s XLA-CPU for the same programs
+    _CPU_CELL_PAIRS = 1 << 21
+
+    @staticmethod
+    def _pair_slots(p):
+        # b[3] is the [nb, V] vertex mask in both dense and stream
+        # parses, so nb * V^2 counts padded pair slots uniformly
+        return sum(len(b[0]) * b[3].shape[1] ** 2 for b in p["buckets"])
+
+    def _small_cell(self, px, py=None):
+        work = self._pair_slots(px)
+        if py is not None:
+            work += self._pair_slots(py)
+        return work <= self._CPU_CELL_PAIRS
+
     def _gram(self, px, py=None):
+        if self._small_cell(px, py):
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    return self._gram_impl(px, py)
+        return self._gram_impl(px, py)
+
+    def _gram_impl(self, px, py=None):
         from ..ops.gram import chunk_plan
         if px.get("stream") or (py is not None and py.get("stream")):
             ok, L = self._direct_eligible(
@@ -777,6 +807,17 @@ class ShortestPath(Kernel):
                 and parsed is getattr(self, "_Y", None)
                 and hasattr(self, "_Y_diag_cache")):
             return self._Y_diag_cache
+        if self._small_cell(parsed):
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    return self._diag_impl(parsed)
+        return self._diag_impl(parsed)
+
+    def _diag_impl(self, parsed):
         if parsed.get("stream"):
             ok, L = self._direct_eligible(parsed)
             D = int(parsed["max_V"])
