@@ -637,6 +637,10 @@ class ShortestPath(Kernel):
         return sum(len(b[0]) * b[3].shape[1] ** 2 for b in p["buckets"])
 
     def _small_cell(self, px, py=None):
+        from ..ops.gram import active_mesh
+        if active_mesh() is not None:
+            # the caller asked for multi-device sharding; honor it
+            return False
         work = self._pair_slots(px)
         if py is not None:
             work += self._pair_slots(py)
