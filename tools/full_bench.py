@@ -427,7 +427,8 @@ PLAN = [
     ("ML", ["MUTAG", "ENZYMES", "NCI1", "PTC-MR", "PROTEINS", "AIDS",
             "IMDB-B", "IMDB-M", "REDDIT-B", "REDDIT-M-12K"]),
     ("Lo-theta", ["MUTAG", "IMDB-B", "IMDB-M"]),
-    ("WL-PM", ["MUTAG", "ENZYMES", "NCI1", "PTC-MR"]),
+    ("WL-PM", ["MUTAG", "ENZYMES", "NCI1", "PTC-MR", "PROTEINS",
+               "AIDS", "DD"]),
 ]
 
 QUICK_PLAN = [(k, [d for d in ds if d == "MUTAG"]) for k, ds in PLAN]
